@@ -1,0 +1,105 @@
+"""Point-in-polygon over packed coordinate arrays — vectorized numpy kernel.
+
+Geometry representation (SURVEY.md §1.2): a ring is a packed double array
+[x0, y0, x1, y1, ..., xn, yn]; a polygon is {outer: ring, inners: [ring...]}.
+This replaces the PostGIS ST_Contains/ST_Within calls the reference delegates
+to Postgres.
+
+Algorithm: even-odd ray casting (ray toward +x). Points exactly on an edge
+follow the half-open convention (lower endpoint inclusive), which makes
+cell-partitioned evaluation consistent — a point on a shared edge lands in
+exactly one polygon of a partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ring_contains(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Even-odd test of N points against one packed ring.
+
+    ring: float64[2k] packed [x0,y0,...]; closing edge is implicit (the
+    kernel wraps), so both closed and unclosed rings work.
+    px, py: float64[N]. Returns bool[N].
+
+    Vectorized over points x edges: O(N*E) numpy ops, no Python loop over
+    points. Polygon sets are broadcast per-partition, so E is bounded by the
+    polygon corpus, N by the Arrow batch.
+    """
+    xs = ring[0::2]
+    ys = ring[1::2]
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    n = len(xs)
+    if n < 3:
+        return np.zeros(px.shape, dtype=bool)
+    x1, y1 = xs, ys
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+
+    px_ = px[:, None]
+    py_ = py[:, None]
+    # edge straddles the horizontal line through the point (half-open)
+    straddle = (y1[None, :] > py_) != (y2[None, :] > py_)
+    # x coordinate of the edge at py; slope is finite wherever straddle holds
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (py_ - y1[None, :]) / (y2[None, :] - y1[None, :])
+        xint = x1[None, :] + t * (x2[None, :] - x1[None, :])
+    crossings = (straddle & (px_ < xint)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def polygon_contains(
+    outer: np.ndarray, inners: list[np.ndarray], px: np.ndarray, py: np.ndarray
+) -> np.ndarray:
+    """Outer ring minus holes."""
+    inside = ring_contains(outer, px, py)
+    for hole in inners:
+        inside &= ~ring_contains(hole, px, py)
+    return inside
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    xs = ring[0::2]
+    ys = ring[1::2]
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+class PolygonSet:
+    """A small broadcastable polygon corpus with a bbox prefilter.
+
+    Built driver-side from a collected polygon DataFrame, shipped to
+    executors via sc.broadcast (the "broadcast R-tree" path of the north
+    rule — at this corpus size a vectorized bbox scan beats tree overhead;
+    the cell-prefix sort-merge path in operators/spatial_join.py covers the
+    large-corpus case).
+    """
+
+    def __init__(self, ids: list, outers: list[np.ndarray], inners: list[list[np.ndarray]]):
+        self.ids = np.asarray(ids)
+        self.outers = [np.asarray(o, np.float64) for o in outers]
+        self.inners = [[np.asarray(h, np.float64) for h in hs] for hs in inners]
+        if self.outers:
+            self.bboxes = np.array([ring_bbox(o) for o in self.outers])
+        else:
+            self.bboxes = np.zeros((0, 4))
+
+    def match(self, px: np.ndarray, py: np.ndarray):
+        """For N points return (point_idx, polygon_id) match pairs
+        (a point may fall in several overlapping polygons)."""
+        out_pt: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for k, outer in enumerate(self.outers):
+            minx, miny, maxx, maxy = self.bboxes[k]
+            cand = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            hit = polygon_contains(outer, self.inners[k], px[idx], py[idx])
+            hit_idx = idx[hit]
+            if hit_idx.size:
+                out_pt.append(hit_idx)
+                out_id.append(np.full(hit_idx.shape, self.ids[k]))
+        if not out_pt:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=self.ids.dtype)
+        return np.concatenate(out_pt), np.concatenate(out_id)

@@ -1,1 +1,224 @@
-"""Placeholder — populated in a later milestone."""
+"""Geospatial operators validated against DuckDB oracles.
+
+Coordinates are derived deterministically from integer keys with pure
+integer/double arithmetic (fs2_osm_spark.functions.geo.synth_*), identical
+on both engines, so the spatial kernels are checked end-to-end on the
+neutral star-schema tables. The engine-side computation is the real
+operator (Column-math tiles/cells, the vectorized ray-cast PIP kernel via
+mapInPandas); the oracle re-derives the expected answer with plain SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.functions import geo
+from fs2_osm_spark.functions.hex import hex_cell, hex_cell_sql
+from fs2_osm_spark.functions.pip import PolygonSet
+from fs2_osm_spark.io import load
+from fs2_osm_spark.operators.spatial_join import broadcast_pip_join
+from fs2_osm_spark.queries.registry import register
+
+TILE_Z = 12
+
+
+# --------------------------------------------------------------------------
+# z/x/y Web-Mercator tile assignment (north-rule operator; SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+_x_sql, _y_sql = geo.tile_xyz_sql(
+    geo.synth_lon_sql("o_orderkey"), geo.synth_lat_sql("o_orderkey"), TILE_Z
+)
+
+
+@register(
+    "geo_tile_assignment",
+    oracle=f"""
+    SELECT o_orderkey AS point_id,
+           {_x_sql} AS tile_x,
+           {_y_sql} AS tile_y
+    FROM orders
+    """,
+)
+def geo_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lon = geo.synth_lon(F.col("o_orderkey"))
+    lat = geo.synth_lat(F.col("o_orderkey"))
+    x, y = geo.tile_xyz(lon, lat, TILE_Z)
+    return orders.select(
+        F.col("o_orderkey").alias("point_id"), x.alias("tile_x"), y.alias("tile_y")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hex cell assignment + per-cell histogram (the skew diagnostic the salting
+# strategy is driven by)
+# --------------------------------------------------------------------------
+_hex8_sql = hex_cell_sql(
+    geo.synth_lon_sql("c_custkey"), geo.synth_lat_sql("c_custkey"), 8
+)
+
+
+@register(
+    "geo_hex_cell_assignment",
+    oracle=f"""
+    SELECT c_custkey AS point_id, {_hex8_sql} AS cell
+    FROM customer
+    """,
+)
+def geo_hex_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    lon = geo.synth_lon(F.col("c_custkey"))
+    lat = geo.synth_lat(F.col("c_custkey"))
+    return cust.select(
+        F.col("c_custkey").alias("point_id"), hex_cell(lon, lat, 8).alias("cell")
+    )
+
+
+@register(
+    "geo_hex_cell_histogram",
+    oracle=f"""
+    SELECT cell, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT {hex_cell_sql(geo.synth_lon_sql("l_orderkey * 10 + l_linenumber"),
+                             geo.synth_lat_sql("l_orderkey * 10 + l_linenumber"), 5)} AS cell
+        FROM lineitem
+    ) GROUP BY cell
+    """,
+)
+def geo_hex_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    cell = hex_cell(geo.synth_lon(key), geo.synth_lat(key), 5)
+    return li.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon join: engine side runs the real broadcast ray-cast kernel
+# (mapInPandas over packed coordinate arrays); oracle re-derives containment
+# for the same fixed CCW triangles via half-plane sign tests.
+# --------------------------------------------------------------------------
+PIP_TRIANGLES: dict[int, list[float]] = {
+    # id -> packed [x0,y0, x1,y1, x2,y2], all CCW
+    1: [-50.3333333, -30.1111111, 50.2222222, -20.5555555, 0.1234567, 45.7654321],
+    2: [-120.654321, 10.111111, -60.123456, 5.555555, -90.987654, 60.246801],
+    3: [80.5, -60.25, 150.75, -55.125, 110.3, 20.7],
+}
+
+
+def _tri_sign_sql(px: str, py: str, tri: list[float]) -> str:
+    """inside-CCW-triangle as three strict half-plane tests."""
+    x1, y1, x2, y2, x3, y3 = tri
+    terms = []
+    for (ax, ay), (bx, by) in [((x1, y1), (x2, y2)), ((x2, y2), (x3, y3)), ((x3, y3), (x1, y1))]:
+        terms.append(
+            f"(({bx!r} - {ax!r}) * (({py}) - {ay!r}) - ({by!r} - {ay!r}) * (({px}) - {ax!r})) > 0"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+_pip_lon = geo.synth_lon_sql("o_orderkey")
+_pip_lat = geo.synth_lat_sql("o_orderkey")
+_pip_cases = "\nUNION ALL\n".join(
+    f"SELECT o_orderkey AS point_id, CAST({pid} AS BIGINT) AS polygon_id FROM orders "
+    f"WHERE {_tri_sign_sql(_pip_lon, _pip_lat, tri)}"
+    for pid, tri in PIP_TRIANGLES.items()
+)
+
+
+@register("geo_pip_broadcast_join", oracle=_pip_cases)
+def geo_pip_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderkey").alias("point_id"),
+        geo.synth_lon(F.col("o_orderkey")).alias("lon"),
+        geo.synth_lat(F.col("o_orderkey")).alias("lat"),
+    )
+    ps = PolygonSet(
+        ids=list(PIP_TRIANGLES.keys()),
+        outers=[np.asarray(t) for t in PIP_TRIANGLES.values()],
+        inners=[[] for _ in PIP_TRIANGLES],
+    )
+    return broadcast_pip_join(pts, ps, "lon", "lat", ["point_id"])
+
+
+# --------------------------------------------------------------------------
+# kNN by haversine: window top-k refinement (the engine's only true window
+# op, SURVEY.md §4.2). Query points from nation keys, data points from
+# customer keys.
+# --------------------------------------------------------------------------
+_q_lon = geo.synth_lon_sql("n_nationkey + 7")
+_q_lat = geo.synth_lat_sql("n_nationkey + 7")
+_c_lon = geo.synth_lon_sql("c_custkey")
+_c_lat = geo.synth_lat_sql("c_custkey")
+_dist = geo.haversine_m_sql(_q_lon, _q_lat, _c_lon, _c_lat)
+
+
+@register(
+    "geo_knn_haversine",
+    oracle=f"""
+    SELECT query_id, rank, cust_id FROM (
+        SELECT n.n_nationkey AS query_id,
+               CAST(row_number() OVER (
+                   PARTITION BY n.n_nationkey
+                   ORDER BY round({_dist}, 3), c.c_custkey) AS BIGINT) AS rank,
+               c.c_custkey AS cust_id
+        FROM nation n CROSS JOIN customer c
+    ) WHERE rank <= 3
+    """,
+)
+def geo_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    q = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("query_id"),
+        geo.synth_lon(F.col("n_nationkey") + 7).alias("q_lon"),
+        geo.synth_lat(F.col("n_nationkey") + 7).alias("q_lat"),
+    )
+    c = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        geo.synth_lon(F.col("c_custkey")).alias("c_lon"),
+        geo.synth_lat(F.col("c_custkey")).alias("c_lat"),
+    )
+    dist = geo.haversine_m(
+        F.col("q_lon"), F.col("q_lat"), F.col("c_lon"), F.col("c_lat")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round(dist, 3), F.col("cust_id"))
+    return (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "cust_id",
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantized coordinate equality — the reference's 1e-6 Coordinate contract
+# (core/src/main/scala/fs2/osm/core/Coordinate.scala:4-12): two coordinate
+# streams derived differently must compare equal after quantization.
+# --------------------------------------------------------------------------
+@register(
+    "geo_quantized_equality",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_equal FROM (
+        SELECT CAST(trunc(({geo.synth_lon_sql("s_suppkey")}) * 1e6) AS BIGINT) AS qlon,
+               CAST(trunc(({geo.synth_lon_sql("s_suppkey")} + 4e-7) * 1e6) AS BIGINT) AS qlon2
+        FROM supplier
+    ) WHERE qlon = qlon2
+    """,
+)
+def geo_quantized_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    lon = geo.synth_lon(F.col("s_suppkey"))
+    q1 = geo.quantize(lon)
+    q2 = geo.quantize(lon + 4e-7)
+    return sup.select(q1.alias("qlon"), q2.alias("qlon2")).filter(
+        F.col("qlon") == F.col("qlon2")
+    ).agg(F.count(F.lit(1)).alias("n_equal"))
