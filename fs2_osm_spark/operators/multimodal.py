@@ -1,0 +1,164 @@
+"""Multimodal (image) operators over binary columns.
+
+Images travel as opaque `bytes` columns with typed metadata (input_hint
+schema). All pixel work happens in Arrow-batched mapInPandas with the
+pure-numpy codecs — no per-row Python UDFs, no image libs required.
+
+Scale notes: the binary column is the widest thing in the table, so these
+operators keep it out of shuffles — geotag/cell/tile derivation works on
+metadata only; pixel passes are narrow (no shuffle at all); anything that
+joins re-attaches bytes late by image_id (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fs2_osm_spark.codecs.png import (
+    decode_image,
+    encode_lossy,
+    encode_png,
+    phash64,
+    psnr,
+)
+
+CAPTION_COORD_RE = r"at (-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def caption_lat(caption: Column) -> Column:
+    return F.regexp_extract(caption, CAPTION_COORD_RE, 1).cast("double")
+
+
+def caption_lon(caption: Column) -> Column:
+    return F.regexp_extract(caption, CAPTION_COORD_RE, 2).cast("double")
+
+
+def geotag(images: DataFrame) -> DataFrame:
+    """Caption -> (lon, lat) columns. Pure Column regexp — JVM-side."""
+    return images.withColumn("lat", caption_lat(F.col("caption"))).withColumn(
+        "lon", caption_lon(F.col("caption"))
+    )
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("dec_w", T.IntegerType(), False),
+        T.StructField("dec_h", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("phash_match", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every image, emit pixel stats + phash verification."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = decode_image(bytes(r.bytes), r.fmt)
+                means = img.reshape(-1, 3).mean(axis=0)
+                ph_ok = r.fmt != "png" or phash64(img) == r.phash
+                rows.append(
+                    (
+                        r.image_id,
+                        img.shape[1],
+                        img.shape[0],
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        bool(ph_ok),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
+                    "phash_match",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "phash").mapInPandas(
+        fn, DECODE_STATS_SCHEMA
+    )
+
+
+ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("psnr_db", T.DoubleType(), False),
+        T.StructField("lossless", T.BooleanType(), False),
+    ]
+)
+
+
+def pixel_roundtrip(images: DataFrame) -> DataFrame:
+    """decode -> re-encode -> decode, report PSNR (input_hint invariant:
+    allclose for lossless, >= 40 dB for lossy) with caption passthrough."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = decode_image(bytes(r.bytes), r.fmt)
+                re_bytes = encode_png(img) if r.fmt == "png" else encode_lossy(img)
+                again = decode_image(re_bytes, r.fmt)
+                rows.append(
+                    (r.image_id, r.caption, psnr(img, again), r.fmt == "png")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "caption", "psnr_db", "lossless"]
+            )
+
+    return images.select("image_id", "bytes", "fmt", "caption").mapInPandas(
+        fn, ROUNDTRIP_SCHEMA
+    )
+
+
+def resize_block_mean(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Block-mean resample to (out_w, out_h), re-encoded as PNG.
+
+    The rasterize/vectorize round-trip building block (north_star): decode,
+    transform on the numpy array, re-encode — all inside one narrow stage.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = decode_image(bytes(r.bytes), r.fmt).astype(np.float64)
+                h, w = img.shape[:2]
+                ys = (np.arange(out_h + 1) * h) // out_h
+                xs = (np.arange(out_w + 1) * w) // out_w
+                out = np.empty((out_h, out_w, 3), np.float64)
+                for i in range(out_h):
+                    for j in range(out_w):
+                        out[i, j] = img[
+                            ys[i] : max(ys[i + 1], ys[i] + 1),
+                            xs[j] : max(xs[j + 1], xs[j] + 1),
+                        ].mean(axis=(0, 1))
+                small = out.clip(0, 255).astype(np.uint8)
+                rows.append((r.image_id, encode_png(small), out_w, out_h, "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema)

@@ -47,7 +47,7 @@ def broadcast_pip_join(
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(polygons)
 
-    in_fields = [points.schema[c] for c in keep_cols + [lon_col, lat_col]]
+    in_cols = list(dict.fromkeys(keep_cols + [lon_col, lat_col]))
     out_schema = T.StructType(
         [points.schema[c] for c in keep_cols]
         + [T.StructField("polygon_id", T.LongType(), False)]
@@ -63,7 +63,7 @@ def broadcast_pip_join(
             out["polygon_id"] = poly_id.astype(np.int64)
             yield out
 
-    return points.select(*keep_cols, lon_col, lat_col).mapInPandas(fn, out_schema)
+    return points.select(*in_cols).mapInPandas(fn, out_schema)
 
 
 def polygons_to_cells(

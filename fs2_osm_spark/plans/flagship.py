@@ -1,17 +1,86 @@
 """Flagship end-to-end query (SURVEY.md §7.1 step 4).
 
-Target shape: geotag images from captions -> hex cell -> PIP join against
-OSM-derived polygons -> z/x/y tile assignment. Until the spatial layer lands
-(next milestone), the flagship runs the ordered-assembly + join-chain slice
-so the driver smoke check exercises a real multi-operator plan.
+"Which region and tile does each image belong to": synthesize the image
+table and the OSM world deterministically, geotag images from captions,
+index into hex cells, point-in-polygon join against OSM-derived polygons
+(broadcast ray-cast path — the corpus is small here; cell_pip_join covers
+the large-corpus case), and assign z/x/y Web-Mercator tiles.
+
+Output: (image_id, polygon_id, cell, tile_x, tile_y) — byte-identical
+across parallelism levels (everything is id-derived and the join is
+deterministic).
+
+Scale hygiene: the binary `bytes` column never enters the join — geotag
+works on caption metadata only and the PIP join carries just
+(image_id, lon, lat), per SURVEY.md §7.3 ("keep bytes out of wide
+shuffles").
 """
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.functions.geo import tile_xyz
+from fs2_osm_spark.functions.hex import hex_cell
+from fs2_osm_spark.functions.pip import PolygonSet
+from fs2_osm_spark.operators.assembly import feature_polygons
+from fs2_osm_spark.operators.multimodal import geotag
+from fs2_osm_spark.operators.spatial_join import broadcast_pip_join
+from fs2_osm_spark.synth.images import images_table
+from fs2_osm_spark.synth.osm import osm_tables
+
+SCALES = {
+    "sf0.001": (2_000, 128),
+    "sf0.01": (20_000, 512),
+    "sf0.1": (200_000, 2048),
+}
+HEX_RES = 8
+TILE_Z = 12
 
 
-def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fs2_osm_spark.queries.registry import QUERIES
+def scale_for(sf_dir: str) -> tuple[int, int]:
+    return SCALES.get(os.path.basename(sf_dir.rstrip("/")), (2_000, 128))
 
-    return QUERIES["r01_ordered_assembly"].fn(spark, sf_dir)
+
+def polygon_corpus(spark: SparkSession, n_zones: int) -> PolygonSet:
+    """Collect the synthetic OSM polygon layer into a broadcastable set."""
+    t = osm_tables(spark, n_zones)
+    polys = feature_polygons(
+        t["ways"], t["nodes"], t["relations"], t["relations_ways"]
+    ).select("polygon_id", "outer", "inners")
+    rows = polys.collect()
+    return PolygonSet(
+        ids=[r.polygon_id for r in rows],
+        outers=[np.asarray(r.outer) for r in rows],
+        inners=[[np.asarray(h) for h in (r.inners or [])] for r in rows],
+    )
+
+
+def flagship_query(
+    spark: SparkSession,
+    sf_dir: str,
+    n_images: int | None = None,
+    n_zones: int | None = None,
+) -> DataFrame:
+    n_img, n_z = scale_for(sf_dir)
+    n_img = n_images or n_img
+    n_z = n_zones or n_z
+
+    images = images_table(spark, n_img)
+    pts = geotag(images).select("image_id", "lon", "lat")
+
+    ps = polygon_corpus(spark, n_z)
+    joined = broadcast_pip_join(pts, ps, "lon", "lat", ["image_id", "lon", "lat"])
+
+    tx, ty = tile_xyz(F.col("lon"), F.col("lat"), TILE_Z)
+    return joined.select(
+        "image_id",
+        "polygon_id",
+        hex_cell(F.col("lon"), F.col("lat"), HEX_RES).alias("cell"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+    )

@@ -1,1 +1,67 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal (image) queries — rows-only driver checks (binary decode is
+not expressible in the DuckDB oracle); invariants (PSNR >= 40 dB, caption
+equality, phash match) are enforced inside the queries themselves and
+asserted in tests/test_images_flagship.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.operators.multimodal import (
+    decode_stats,
+    geotag,
+    pixel_roundtrip,
+    resize_block_mean,
+)
+from fs2_osm_spark.plans.flagship import flagship_query
+from fs2_osm_spark.queries.registry import register
+from fs2_osm_spark.synth.images import images_table
+
+N_IMAGES = 2_000
+
+
+@register("img_flagship_spatial_join", oracle=None)
+def img_flagship_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotag -> hex cell -> PIP join -> tile assignment (the north-star
+    pipeline end-to-end)."""
+    return flagship_query(spark, sf_dir)
+
+
+@register("img_decode_stats", oracle=None)
+def img_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = images_table(spark, N_IMAGES)
+    return decode_stats(images).filter(F.col("phash_match"))
+
+
+@register("img_pixel_roundtrip", oracle=None)
+def img_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows violating the input_hint invariant would be excluded here, so
+    the rows-only count doubles as the PSNR/caption gate (tests assert the
+    count equals N)."""
+    images = images_table(spark, N_IMAGES)
+    rt = pixel_roundtrip(images)
+    # lossless rows have psnr = +inf, which satisfies >= 40 as well
+    ok = rt.filter(F.col("psnr_db") >= 40.0)
+    return ok.select("image_id", "psnr_db", "lossless")
+
+
+@register("img_geotag_cells", oracle=None)
+def img_geotag_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption geotag + hex cell histogram — the skew profile of the hot
+    cities (drives the salting factor)."""
+    from fs2_osm_spark.functions.hex import hex_cell
+
+    images = images_table(spark, N_IMAGES)
+    pts = geotag(images)
+    return (
+        pts.select(hex_cell(F.col("lon"), F.col("lat"), 6).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("img_resize", oracle=None)
+def img_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = images_table(spark, 500)
+    return resize_block_mean(images, 8, 8).select("image_id", "w", "h")

@@ -1,1 +1,73 @@
-"""Placeholder — populated in a later milestone."""
+"""OSM-pipeline queries (rows-only driver checks; golden semantics are
+pinned by tests/test_decode_assembly.py against the reference's decode
+contract and stitching fixtures — these shapes aren't expressible over the
+DuckDB star views, so the driver records the weaker rows-only check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.operators.assembly import (
+    build_multipolygons,
+    build_osm_lines,
+    feature_polygons,
+    simple_polygons,
+)
+from fs2_osm_spark.plans.features import FEATURES, run_all_features
+from fs2_osm_spark.queries.registry import register
+from fs2_osm_spark.sources.dense_decode import decode_dense_blocks
+from fs2_osm_spark.synth.osm import golden_dense_blocks, osm_tables
+
+N_ZONES = 256
+
+
+@register("osm_dense_decode", oracle=None)
+def osm_dense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PBF dense-node decode kernel (S5-S10) over the golden encoded blocks."""
+    blocks = spark.createDataFrame(golden_dense_blocks())
+    return decode_dense_blocks(blocks)
+
+
+@register("osm_lines_assembly", oracle=None)
+def osm_lines_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osm_lines: posexplode + join + ordered collect -> packed coords (R1-R4)."""
+    t = osm_tables(spark, N_ZONES)
+    lines = build_osm_lines(t["ways"], t["nodes"])
+    return lines.select("way_id", "n_pts", "is_closed")
+
+
+@register("osm_simple_polygons", oracle=None)
+def osm_simple_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = osm_tables(spark, N_ZONES)
+    lines = build_osm_lines(t["ways"], t["nodes"])
+    return simple_polygons(lines).select("polygon_id", F.size("outer").alias("n_coords"))
+
+
+@register("osm_multipolygons", oracle=None)
+def osm_multipolygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based multipolygon stitching (replaces R13's per-relation loop)."""
+    t = osm_tables(spark, N_ZONES)
+    lines = build_osm_lines(t["ways"], t["nodes"])
+    mp = build_multipolygons(t["relations"], t["relations_ways"], lines)
+    return mp.select(
+        "polygon_id",
+        F.size("outer").alias("outer_coords"),
+        F.size("inners").alias("n_holes"),
+    )
+
+
+@register("osm_feature_catalog", oracle=None)
+def osm_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All catalog features (SURVEY.md §2.4) -> per-feature row counts."""
+    t = osm_tables(spark, N_ZONES)
+    lines = build_osm_lines(t["ways"], t["nodes"]).cache()
+    polys = feature_polygons(t["ways"], t["nodes"], t["relations"], t["relations_ways"])
+    outs = run_all_features(lines, polys)
+    per_feature = None
+    for name, df in outs.items():
+        c = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("feature"), "n"
+        )
+        per_feature = c if per_feature is None else per_feature.unionByName(c)
+    return per_feature

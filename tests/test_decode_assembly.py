@@ -1,0 +1,221 @@
+"""Decode-contract golden tests (DenseNodeStreamSpec analogues) and geometry
+assembly tests against the hand-built multipolygon fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fs2_osm_spark.operators.assembly import (
+    build_multipolygons,
+    build_osm_lines,
+    feature_polygons,
+    simple_polygons,
+)
+from fs2_osm_spark.sources.dense_decode import (
+    DECODED_NODES_SCHEMA,
+    decode_dense_block_np,
+    decode_dense_blocks,
+    decode_delta_refs,
+)
+from fs2_osm_spark.synth.osm import (
+    RELATIONS_SCHEMA,
+    RELATIONS_WAYS_SCHEMA,
+    WAYS_SCHEMA,
+    NODES_SCHEMA,
+    golden_dense_blocks,
+    golden_multipolygon,
+    osm_tables,
+)
+
+
+# ------------------------------------------------------------- decode ------
+def test_id_delta_chain():
+    # DenseNodeStreamSpec.scala:22-29
+    out = decode_dense_block_np(
+        ids=[42, 1, 2],
+        lats=[0, 0, 0],
+        lons=[0, 0, 0],
+        keys_vals=[],
+        string_table=[""],
+    )
+    assert out["osm_id"].tolist() == [42, 43, 45]
+
+
+def test_coordinate_scaling_defaults():
+    # DenseNodeStreamSpec.scala:31-46: granularity 100, offsets 0
+    out = decode_dense_block_np(
+        ids=[1, 1, 1],
+        lats=[530000000, 10000000, 2000000],
+        lons=[100000000, 0, 0],
+        keys_vals=[],
+        string_table=[""],
+    )
+    assert out["lat"].tolist() == pytest.approx([53.0, 54.0, 54.2])
+    assert out["lon"].tolist() == pytest.approx([10.0, 10.0, 10.0])
+
+
+def test_coordinate_scaling_custom_offsets():
+    # DenseNodeStreamSpec.scala:48-76: custom granularity + offsets
+    out = decode_dense_block_np(
+        ids=[7],
+        lats=[10000000],
+        lons=[10000000],
+        keys_vals=[],
+        string_table=[""],
+        granularity=200,
+        lat_offset=500000000,
+        lon_offset=-300000000,
+    )
+    assert out["lat"].iloc[0] == pytest.approx(2.5)
+    assert out["lon"].iloc[0] == pytest.approx(1.7)
+
+
+def test_tag_decode_and_last_write_wins():
+    out = decode_dense_block_np(
+        ids=[1, 1],
+        lats=[0, 0],
+        lons=[0, 0],
+        # node0: amenity=cafe, amenity=bar (dup key -> last wins), name=x
+        keys_vals=[1, 2, 1, 3, 4, 5, 0, 0],
+        string_table=["", "amenity", "cafe", "bar", "name", "x"],
+    )
+    assert out["tags"].iloc[0] == {"amenity": "bar", "name": "x"}
+    assert out["name"].iloc[0] == "x"
+    assert out["tags"].iloc[1] == {}
+
+
+def test_way_refs_delta():
+    assert decode_delta_refs([100, 2, -1, 5]) == [100, 102, 101, 106]
+
+
+def test_decode_dense_blocks_spark(spark):
+    blocks = spark.createDataFrame(golden_dense_blocks())
+    out = decode_dense_blocks(blocks).orderBy("osm_id").collect()
+    assert [r.osm_id for r in out] == [7, 10, 42, 43, 45]
+    by_id = {r.osm_id: r for r in out}
+    assert by_id[42].lat == pytest.approx(53.0)
+    assert by_id[43].lat == pytest.approx(54.0)
+    assert by_id[45].lat == pytest.approx(54.2)
+    assert by_id[42].tags == {"amenity": "cafe"}
+    assert by_id[7].lat == pytest.approx(2.5)
+    assert by_id[7].lon == pytest.approx(1.7)
+
+
+# ----------------------------------------------------------- assembly ------
+@pytest.fixture(scope="module")
+def golden_dfs(spark):
+    g = golden_multipolygon()
+    return {
+        "nodes": spark.createDataFrame(g["nodes"], NODES_SCHEMA),
+        "ways": spark.createDataFrame(g["ways"], WAYS_SCHEMA),
+        "relations": spark.createDataFrame(g["relations"], RELATIONS_SCHEMA),
+        "relations_ways": spark.createDataFrame(
+            g["relations_ways"], RELATIONS_WAYS_SCHEMA
+        ),
+    }
+
+
+def test_osm_lines_order_and_closure(golden_dfs):
+    lines = {r.way_id: r for r in build_osm_lines(golden_dfs["ways"], golden_dfs["nodes"]).collect()}
+    # way 300: open, 5 pts in index order
+    assert lines[300].n_pts == 5
+    assert not lines[300].is_closed
+    assert lines[300].geom[:4] == [0.0, 0.0, 2.0, 0.0]
+    # way 302: closed triangle (4 pts, first==last)
+    assert lines[302].is_closed
+    assert lines[302].n_pts == 4
+
+
+def test_multipolygon_stitching(golden_dfs):
+    lines = build_osm_lines(golden_dfs["ways"], golden_dfs["nodes"])
+    mps = build_multipolygons(
+        golden_dfs["relations"], golden_dfs["relations_ways"], lines
+    ).collect()
+    by_id = {r.polygon_id: r for r in mps}
+    assert set(by_id) == {2952, 2953}
+
+    g = by_id[2952]
+    outer = np.asarray(g.outer).reshape(-1, 2)
+    # stitched from 2 open ways with one reversal: closed ring over the 8
+    # perimeter nodes (+ repeated first)
+    assert (outer[0] == outer[-1]).all()
+    assert len(outer) == 9
+    # inner rings: 2 closed triangles (4 pts each) + square hole (5 pts),
+    # all pass the >3-points rule; duplicate membership of way 302 deduped
+    assert len(g.inners) == 3
+
+    r = by_id[2953]
+    router = np.asarray(r.outer).reshape(-1, 2)
+    # unclosed outer repaired by appending start point
+    assert (router[0] == router[-1]).all()
+    assert len(router) == 5
+
+
+def test_multipolygon_inner_min_vertex_rule(golden_dfs):
+    """Triangles close to 4 points (3 distinct + closure); rule is
+    n_pts > 3 on the ring array, so closed triangles (4 pts) survive,
+    matching ComplexPolygonBuilder.scala:116-130 counting geometry points."""
+    lines = build_osm_lines(golden_dfs["ways"], golden_dfs["nodes"])
+    mps = build_multipolygons(
+        golden_dfs["relations"], golden_dfs["relations_ways"], lines
+    ).collect()
+    g = {r.polygon_id: r for r in mps}[2952]
+    assert len(g.inners) == 3
+
+
+def test_simple_polygons_predicate(spark, golden_dfs):
+    import pandas as pd
+
+    ways = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (400, None, [100, 101, 102, 103, 100], {"building": "yes"}),
+                (401, None, [100, 101, 102, 103, 100], {"building": "yes", "area": "no"}),
+                (402, None, [100, 101, 102, 103], {"building": "yes"}),  # open
+                (403, None, [100, 101, 102, 103, 100], {"highway": "residential"}),
+                (404, None, [100, 101, 102, 103, 100], {"natural": "water"}),
+            ],
+            columns=["osm_id", "name", "nodes", "tags"],
+        ),
+        WAYS_SCHEMA,
+    )
+    lines = build_osm_lines(ways, golden_dfs["nodes"])
+    polys = {r.polygon_id for r in simple_polygons(lines).collect()}
+    assert polys == {400, 404}
+
+
+def test_feature_polygons_union(golden_dfs):
+    out = feature_polygons(
+        golden_dfs["ways"],
+        golden_dfs["nodes"],
+        golden_dfs["relations"],
+        golden_dfs["relations_ways"],
+    ).collect()
+    ids = {r.polygon_id for r in out}
+    assert 2952 in ids and 2953 in ids
+
+
+# ------------------------------------------------- scalable generation -----
+def test_osm_tables_partition_invariance(spark):
+    a = osm_tables(spark, n_zones=64, partitions=2)
+    b = osm_tables(spark, n_zones=64, partitions=8)
+    for t in ("nodes", "ways", "relations", "relations_ways"):
+        ra = sorted([tuple(str(x) for x in r) for r in a[t].collect()])
+        rb = sorted([tuple(str(x) for x in r) for r in b[t].collect()])
+        assert ra == rb, t
+
+
+def test_osm_tables_assembly_end_to_end(spark):
+    t = osm_tables(spark, n_zones=64, partitions=4)
+    polys = feature_polygons(
+        t["ways"], t["nodes"], t["relations"], t["relations_ways"]
+    )
+    rows = polys.collect()
+    assert len(rows) > 64  # every zone ring + multipolygons
+    mp = [r for r in rows if r.polygon_id >= 30_000_000]
+    assert len(mp) == 8  # zones 0,8,...,56
+    for r in mp:
+        outer = np.asarray(r.outer).reshape(-1, 2)
+        assert (outer[0] == outer[-1]).all()
+        assert len(r.inners) == 1
