@@ -1,0 +1,185 @@
+"""Engine-native dedup operators — the scale path.
+
+Unlike queries/dedup.py (md5 fragments chosen for cross-engine oracle
+parity), these use xxhash64 — Spark's JVM-side 64-bit hash — so the whole
+MinHash/SimHash pipeline stays inside whole-stage codegen: shingling is
+posexplode + window lead, hashing is a Catalyst expression, signatures are
+plain min() aggregates. No Python in the hot path at all.
+
+Clustering uses iterative min-label propagation over the candidate-pair
+graph (connected components), a bounded number of self-join rounds — the
+set-based replacement for a driver-side union-find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) word n-grams. JVM-side: split/posexplode/lead."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    return (
+        words.select("_id", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .select(F.col("_id").alias(id_col), "sh")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig array<bigint>): n_hashes seeded xxhash64 minima."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """Band the signature array, self-join on (band, key): candidate pairs.
+
+    Scale shape: the join key is (band, band-hash) — co-partitioned equi
+    join, no cross product; hot bands (boilerplate text) are exactly the
+    skew case AQE skew-join splitting handles.
+    """
+    n_hashes = len(sigs.select("sig").first()["sig"])
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """(id, cluster) via min-label propagation over undirected pairs.
+
+    Each round joins current labels across edges and takes the min —
+    converges in O(diameter) rounds; near-dup clusters are tiny, so
+    max_iters=10 is far beyond any realistic diameter. Deterministic.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate the plan per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash from xxhash64 token hashes — 64 JVM-side aggregates.
+
+    Near-dup detection then filters on hamming distance:
+    bit_count(a ^ b) <= t (see hamming_pairs).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).select(id_col, F.xxhash64("w").alias("h"))
+    bits = None
+    for b in range(64):
+        weight = F.sum(
+            2 * F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) - 1
+        )
+        term = F.when(weight > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(
+            F.lit(0)
+        )
+        bits = term if bits is None else bits + term
+    return words.groupBy(id_col).agg(bits.cast("bigint").alias("simhash"))
+
+
+def hamming_pairs(
+    sims: DataFrame, id_col: str, max_distance: int, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the top
+    prefix_bits (identical high bits are necessary-ish for small distances;
+    standard multi-probe would rotate blocks — one block keeps the demo
+    simple while preserving the equi-join shape)."""
+    blocked = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("blk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(dist <= max_distance)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("hamming"),
+        )
+    )

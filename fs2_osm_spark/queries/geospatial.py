@@ -222,3 +222,111 @@ def geo_quantized_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.select(q1.alias("qlon"), q2.alias("qlon2")).filter(
         F.col("qlon") == F.col("qlon2")
     ).agg(F.count(F.lit(1)).alias("n_equal"))
+
+
+# --------------------------------------------------------------------------
+# k-ring kNN with an exact oracle: the SQL side replicates the same k-ring
+# candidate restriction (hex distance between axial cells <= ring), so the
+# approximate operator is checked exactly, not just by row count.
+# --------------------------------------------------------------------------
+def _hex_qr_sql(lon: str, lat: str, res: int) -> tuple[str, str]:
+    from fs2_osm_spark.functions.hex import SQRT3, hex_size
+
+    s = hex_size(res)
+    fq = f"(({SQRT3 / 3.0!r} * ({lon}) - ({lat}) / 3.0) / {s!r})"
+    fr = f"(({2.0 / 3.0!r} * ({lat})) / {s!r})"
+    fs = f"(-{fq} - {fr})"
+    rq, rr, rs = (f"floor({v} + 0.5)" for v in (fq, fr, fs))
+    dq, dr, ds = (f"abs({a} - {b})" for a, b in ((rq, fq), (rr, fr), (rs, fs)))
+    q_fix = f"({dq} > {dr} AND {dq} > {ds})"
+    r_fix = f"(NOT {q_fix} AND {dr} > {ds})"
+    q = f"CAST(CASE WHEN {q_fix} THEN -{rr} - {rs} ELSE {rq} END AS BIGINT)"
+    r = f"CAST(CASE WHEN {r_fix} THEN -{rq} - {rs} ELSE {rr} END AS BIGINT)"
+    return q, r
+
+
+_KNN_RES = 2
+_KNN_RING = 3
+_qq, _qr = _hex_qr_sql(_q_lon, _q_lat, _KNN_RES)
+_tq, _tr = _hex_qr_sql(_c_lon, _c_lat, _KNN_RES)
+
+
+@register(
+    "geo_knn_kring",
+    oracle=f"""
+    WITH q AS (
+        SELECT n_nationkey AS query_id,
+               {_q_lon} AS q_lon, {_q_lat} AS q_lat,
+               {_qq} AS qq, {_qr} AS qr
+        FROM nation
+    ),
+    t AS (
+        SELECT c_custkey AS cust_id,
+               {_c_lon} AS c_lon, {_c_lat} AS c_lat,
+               {_tq} AS tq, {_tr} AS tr
+        FROM customer
+    ),
+    cand AS (
+        SELECT q.query_id, t.cust_id,
+               {geo.haversine_m_sql("q.q_lon", "q.q_lat", "t.c_lon", "t.c_lat")} AS d
+        FROM q JOIN t
+          ON (abs(q.qq - t.tq) + abs(q.qr - t.tr) + abs(q.qq + q.qr - t.tq - t.tr)) / 2
+             <= {_KNN_RING}
+    )
+    SELECT query_id, rank, cust_id FROM (
+        SELECT query_id, cust_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(d, 3), cust_id) AS BIGINT) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    """,
+)
+def geo_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring kNN (candidate equi-join on cell, no cross join) — the scale
+    path of geo_knn_haversine."""
+    from fs2_osm_spark.operators.knn import knn_kring
+
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    q = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("query_id"),
+        geo.synth_lon(F.col("n_nationkey") + 7).alias("lon"),
+        geo.synth_lat(F.col("n_nationkey") + 7).alias("lat"),
+    )
+    t = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        geo.synth_lon(F.col("c_custkey")).alias("lon"),
+        geo.synth_lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = knn_kring(
+        q, t, k=3, res=_KNN_RES, ring=_KNN_RING,
+        query_id_col="query_id", target_id_col="cust_id",
+    )
+    return out.select("query_id", "rank", "cust_id")
+
+
+@register("geo_pip_cell_join", oracle=_pip_cases)
+def geo_pip_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-corpus PIP path (cell equi-join + exact refine) checked against
+    the same half-plane oracle as the broadcast path — both strategies must
+    produce identical join output."""
+    import pandas as pd
+
+    from fs2_osm_spark.operators.spatial_join import cell_pip_join
+
+    orders = load(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderkey").alias("point_id"),
+        geo.synth_lon(F.col("o_orderkey")).alias("lon"),
+        geo.synth_lat(F.col("o_orderkey")).alias("lat"),
+    )
+    polygons = spark.createDataFrame(
+        pd.DataFrame(
+            [(pid, list(tri), []) for pid, tri in PIP_TRIANGLES.items()],
+            columns=["polygon_id", "outer", "inners"],
+        ),
+        "polygon_id long, outer array<double>, inners array<array<double>>",
+    )
+    return cell_pip_join(
+        pts, polygons, res=0, lon_col="lon", lat_col="lat", point_keep=["point_id"]
+    )

@@ -1,1 +1,232 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the correctness baseline; the sign-LSH bucket
+variant is the scale path (bucket equi-join instead of cross join). Both
+oracle-checked: dot products are evaluated as ordered left-folds in double
+precision on both engines (Spark `aggregate` over zip_with; DuckDB
+list_dot_product), and ranks order by the rounded similarity with an id
+tie-break so float last-ulp noise cannot flip the comparison.
+
+The engine-scale ANN path (IVF coarse quantizer + probe) lives in
+operators/similarity.py with pytest recall checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.io import load
+from fs2_osm_spark.queries.registry import register
+
+N_QUERIES = 20
+TOP_K = 5
+LSH_DIMS = (1, 9, 17, 25)  # 1-based dims for the sign-bucket hash
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 AS cos
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 7) DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set, score all
+    corpus vectors JVM-side via higher-order functions, window top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 7).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "neighbor_id",
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_bucket_sql_terms = " + ".join(
+    f"(CASE WHEN embedding[{d}] > 0 THEN {1 << k} ELSE 0 END)"
+    for k, d in enumerate(LSH_DIMS)
+)
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, CAST({_bucket_sql_terms} AS BIGINT) AS bucket,
+           CAST(label AS BIGINT) AS label
+    FROM embeddings
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: 4 fixed coordinate hyperplanes -> 16 buckets.
+    The bucket id is the equi-join key of the ANN path."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for k, d in enumerate(LSH_DIMS):
+        term = F.when(F.element_at("embedding", d) > 0, F.lit(1 << k)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return emb.select(
+        "vec_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+@register(
+    "sim_bucket_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST({_bucket_sql_terms} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 AS cos
+        FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 50
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 7) DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via bucket equi-join + exact rerank — no cross join: candidates
+    are co-partitioned by bucket (the 10^12-scale join shape)."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for k, d in enumerate(LSH_DIMS):
+        term = F.when(F.element_at("embedding", d) > 0, F.lit(1 << k)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    e = emb.select("vec_id", F.col("embedding").alias("v"), bucket.cast("bigint").alias("bucket"))
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        q.join(e, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 7).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "neighbor_id",
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, CAST(round(cos, 6) AS DOUBLE) AS cos_sim
+    FROM p WHERE cos >= 0.35
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked (the blocking
+    key bounds the pair explosion — same pattern as LSH banding)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.col("embedding").alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@register("sim_ivf_ann", oracle=None)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (strided coarse quantizer + n_probe search). Rows-only —
+    recall vs brute force is pinned by tests/test_scale_operators.py."""
+    from fs2_osm_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cents = ivf_centroids(corpus, n_centroids=16)
+    assigned = ivf_assign(corpus, cents)
+    return ivf_search(assigned, cents, queries, k=TOP_K, n_probe=4)

@@ -1,0 +1,174 @@
+"""Fast-path operator tests: xxhash64 dedup, IVF ANN recall, k-ring kNN
+vs brute force, cell-keyed PIP join vs broadcast PIP."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.operators.dedup import (
+    connected_components,
+    hamming_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from fs2_osm_spark.operators.knn import knn_brute_force, knn_kring
+from fs2_osm_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_search,
+)
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(spark):
+    """120 base docs + 1 near-dup per first 40 + 1 exact dup per first 10."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(120):
+        words = [vocab[x] for x in rng.integers(0, 50, 30)]
+        rows.append((i, " ".join(words)))
+        if i < 40:
+            mutated = words.copy()
+            mutated[5] = "MUT"
+            rows.append((1000 + i, " ".join(mutated)))
+        if i < 10:
+            rows.append((2000 + i, " ".join(words)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_lsh_finds_near_dups(doc_corpus):
+    sigs = minhash_signatures(doc_corpus, "doc_id", "text", n_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact dups must always pair; near-dups (1 of 28 shingles changed x 3
+    # positions) should pair for most docs
+    for i in range(10):
+        assert (i, 2000 + i) in got
+    near_hits = sum((i, 1000 + i) in got for i in range(40))
+    assert near_hits >= 30
+
+
+def test_connected_components_clusters(doc_corpus, spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            columns=["id_a", "id_b"],
+        )
+    )
+    labels = {r.id: r.cluster for r in connected_components(pairs).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == labels[21] == labels[22] == labels[23] == 20
+
+
+def test_simhash_locality(doc_corpus):
+    sims = simhash64(doc_corpus, "doc_id", "text")
+    rows = {r.doc_id: r.simhash for r in sims.collect()}
+    # exact dup -> identical simhash
+    for i in range(10):
+        assert rows[i] == rows[2000 + i]
+    # near dup -> small hamming distance
+    d = bin((rows[0] ^ rows[1000]) & ((1 << 64) - 1)).count("1")
+    assert d <= 16
+
+
+def test_hamming_pairs_blocked(doc_corpus):
+    sims = simhash64(doc_corpus, "doc_id", "text")
+    pairs = hamming_pairs(sims, "doc_id", max_distance=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, 2000 + i) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    for i in range(400):
+        v = base[i % 8] + rng.normal(scale=0.3, size=16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "v"]))
+
+
+def test_ivf_recall_vs_brute_force(vectors):
+    queries = vectors.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(vectors, queries, k=5)
+    cents = ivf_centroids(vectors, n_centroids=16)
+    assigned = ivf_assign(vectors, cents)
+    approx = ivf_search(assigned, cents, queries, k=5, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_knn_kring_matches_brute_force(spark):
+    rng = np.random.default_rng(6)
+    # dense target field so every query has candidates within ring 2
+    t = pd.DataFrame(
+        {
+            "target_id": np.arange(3000),
+            "lon": rng.uniform(9.0, 9.5, 3000),
+            "lat": rng.uniform(52.0, 52.5, 3000),
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "query_id": np.arange(25),
+            "lon": rng.uniform(9.1, 9.4, 25),
+            "lat": rng.uniform(52.1, 52.4, 25),
+        }
+    )
+    targets = spark.createDataFrame(t)
+    queries = spark.createDataFrame(q)
+    exact = knn_brute_force(queries, targets, k=3)
+    approx = knn_kring(queries, targets, k=3, res=7, ring=2)
+    e = sorted((r.query_id, r.rank, r.target_id) for r in exact.collect())
+    a = sorted((r.query_id, r.rank, r.target_id) for r in approx.collect())
+    assert e == a
+
+
+def test_cell_pip_join_matches_broadcast(spark):
+    from fs2_osm_spark.functions.pip import PolygonSet
+    from fs2_osm_spark.operators.spatial_join import broadcast_pip_join, cell_pip_join
+
+    rng = np.random.default_rng(13)
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(2000),
+            "lon": rng.uniform(7.5, 9.5, 2000),
+            "lat": rng.uniform(51.5, 53.5, 2000),
+        }
+    )
+    polys = []
+    for i in range(12):
+        ox = 7.5 + (i % 4) * 0.5
+        oy = 51.5 + (i // 4) * 0.6
+        ring = [ox, oy, ox + 0.4, oy, ox + 0.4, oy + 0.5, ox, oy + 0.5]
+        polys.append((100 + i, ring, []))
+    points = spark.createDataFrame(pts)
+    polygons = spark.createDataFrame(
+        pd.DataFrame(polys, columns=["polygon_id", "outer", "inners"]),
+        "polygon_id long, outer array<double>, inners array<array<double>>",
+    )
+    ps = PolygonSet(
+        ids=[p[0] for p in polys],
+        outers=[np.asarray(p[1]) for p in polys],
+        inners=[[] for _ in polys],
+    )
+    a = broadcast_pip_join(points, ps, "lon", "lat", ["point_id"])
+    b = cell_pip_join(
+        points, polygons, res=6, lon_col="lon", lat_col="lat", point_keep=["point_id"]
+    )
+    ra = sorted((r.point_id, r.polygon_id) for r in a.collect())
+    rb = sorted((r.point_id, r.polygon_id) for r in b.collect())
+    assert ra == rb and len(ra) > 100
