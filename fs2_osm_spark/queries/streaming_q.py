@@ -1,0 +1,75 @@
+"""Streaming + lineage queries for the driver gate.
+
+The streaming entries actually execute Structured Streaming jobs (file
+source micro-batches -> watermark -> stateful op -> memory sink) and the
+oracle checks the materialized result against plain SQL — streaming/batch
+parity is the correctness contract.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.queries.registry import register
+from fs2_osm_spark.streaming.events import (
+    stream_dedupe_counts,
+    windowed_event_counts,
+)
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate executed as a real streaming query."""
+    return windowed_event_counts(spark, sf_dir)
+
+
+@register(
+    "stream_dedupe",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique FROM (
+        SELECT DISTINCT event_type, user_id, date_trunc('hour', ts) AS h
+        FROM events
+    ) GROUP BY event_type
+    """,
+)
+def stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates == batch DISTINCT."""
+    return stream_dedupe_counts(spark, sf_dir)
+
+
+@register("lineage_batched_resume", oracle=None)
+def lineage_batched_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/lineage + idempotent resume demo (north rule): process
+    batches, crash injected mid-run, resume; returns the lineage metrics
+    rows (one ok row per batch proves every batch ran exactly once)."""
+    from fs2_osm_spark.plans.lineage import LineageLog, run_batched
+
+    source = spark.range(0, 10_000, 1, 8).select(
+        F.col("id"), (F.col("id") % 8).cast("string").alias("batch")
+    )
+    root = tempfile.mkdtemp(prefix="lineage_q_")
+    try:
+        run_batched(
+            spark, source, "batch", root,
+            transform=lambda df: df.withColumn("v", F.col("id") * 2),
+            fail_after=3,
+        )
+    except RuntimeError:
+        pass  # injected failure after 3 batches
+    run_batched(
+        spark, source, "batch", root,
+        transform=lambda df: df.withColumn("v", F.col("id") * 2),
+    )
+    return LineageLog(spark, root).metrics().select("batch_id", "status", "n_rows")

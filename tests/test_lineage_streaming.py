@@ -1,0 +1,97 @@
+"""Lineage checkpoint/resume semantics + Structured Streaming parity with
+batch results."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.plans.lineage import LineageLog, read_all_batches, run_batched
+from fs2_osm_spark.streaming.events import (
+    stream_dedupe_counts,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def source(spark):
+    rows = [(i, i % 5, float(i)) for i in range(500)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "batch", "val"])
+    )
+
+
+def _transform(df):
+    return df.withColumn("val2", F.col("val") * 2)
+
+
+def test_run_batched_then_resume(spark, source):
+    with tempfile.TemporaryDirectory() as root:
+        # crash after 2 of 5 batches
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_batched(spark, source, "batch", root, _transform, fail_after=2)
+        assert len(LineageLog(spark, root).completed()) == 2
+
+        # resume: only the remaining 3 run
+        n = run_batched(spark, source, "batch", root, _transform)
+        assert n == 3
+
+        # output equals the unbatched transform
+        got = sorted(
+            (r.id, r.val2) for r in read_all_batches(spark, root).collect()
+        )
+        want = sorted((r.id, r.val2) for r in _transform(source).collect())
+        assert got == want
+
+        # idempotent: nothing left to do
+        assert run_batched(spark, source, "batch", root, _transform) == 0
+
+        # lineage metrics: one ok row per batch with positive counts
+        m = LineageLog(spark, root).metrics()
+        rows = m.filter(F.col("status") == "ok").collect()
+        assert len(rows) == 5
+        assert all(r.n_rows == 100 and r.wall_ms >= 0 for r in rows)
+
+
+def test_streaming_windowed_counts_match_batch(spark):
+    got = sorted(
+        map(tuple, windowed_event_counts(spark, SF_SMOKE).collect())
+    )
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    want = sorted(
+        map(
+            tuple,
+            events.groupBy(
+                F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).cast("double").alias("total_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_streaming_dedupe_matches_batch_distinct(spark):
+    got = sorted(map(tuple, stream_dedupe_counts(spark, SF_SMOKE).collect()))
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    want = sorted(
+        map(
+            tuple,
+            events.select(
+                "event_type", "user_id", F.date_trunc("hour", "ts").alias("h")
+            )
+            .distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+            .collect(),
+        )
+    )
+    assert got == want
