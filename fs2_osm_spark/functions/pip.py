@@ -66,14 +66,18 @@ def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
 
 
 class PolygonSet:
-    """A small broadcastable polygon corpus with a bbox prefilter.
+    """A broadcastable polygon corpus with a grid spatial index.
 
     Built driver-side from a collected polygon DataFrame, shipped to
-    executors via sc.broadcast (the "broadcast R-tree" path of the north
-    rule — at this corpus size a vectorized bbox scan beats tree overhead;
-    the cell-prefix sort-merge path in operators/spatial_join.py covers the
-    large-corpus case).
+    executors via sc.broadcast — the "broadcast R-tree" path of the north
+    rule, realized as a uniform grid (hash index on cell -> polygon list):
+    per-batch cost is O(points + candidate pairs) instead of O(points x
+    polygons). Small corpora (< INDEX_THRESHOLD) skip the index and use a
+    plain vectorized bbox scan. The cell-prefix sort-merge path in
+    operators/spatial_join.py covers corpora too large to broadcast.
     """
+
+    INDEX_THRESHOLD = 64
 
     def __init__(self, ids: list, outers: list[np.ndarray], inners: list[list[np.ndarray]]):
         self.ids = np.asarray(ids)
@@ -83,23 +87,72 @@ class PolygonSet:
             self.bboxes = np.array([ring_bbox(o) for o in self.outers])
         else:
             self.bboxes = np.zeros((0, 4))
+        self.grid: dict[tuple[int, int], np.ndarray] | None = None
+        self.cell_size: float = 0.0
+        if len(self.outers) > self.INDEX_THRESHOLD:
+            self._build_grid()
 
-    def match(self, px: np.ndarray, py: np.ndarray):
-        """For N points return (point_idx, polygon_id) match pairs
-        (a point may fall in several overlapping polygons)."""
+    def _build_grid(self) -> None:
+        spans = np.maximum(
+            self.bboxes[:, 2] - self.bboxes[:, 0], self.bboxes[:, 3] - self.bboxes[:, 1]
+        )
+        # cell ~ median polygon span: most polygons cover O(1) cells
+        self.cell_size = max(float(np.median(spans)), 1e-6)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        inv = 1.0 / self.cell_size
+        for k in range(len(self.outers)):
+            minx, miny, maxx, maxy = self.bboxes[k]
+            for cx in range(int(np.floor(minx * inv)), int(np.floor(maxx * inv)) + 1):
+                for cy in range(int(np.floor(miny * inv)), int(np.floor(maxy * inv)) + 1):
+                    buckets.setdefault((cx, cy), []).append(k)
+        self.grid = {c: np.asarray(v, np.int64) for c, v in buckets.items()}
+
+    def _match_scan(self, px: np.ndarray, py: np.ndarray, poly_idx=None):
         out_pt: list[np.ndarray] = []
         out_id: list[np.ndarray] = []
-        for k, outer in enumerate(self.outers):
+        candidates = range(len(self.outers)) if poly_idx is None else poly_idx
+        for k in candidates:
             minx, miny, maxx, maxy = self.bboxes[k]
             cand = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
             if not cand.any():
                 continue
             idx = np.nonzero(cand)[0]
-            hit = polygon_contains(outer, self.inners[k], px[idx], py[idx])
+            hit = polygon_contains(self.outers[k], self.inners[k], px[idx], py[idx])
             hit_idx = idx[hit]
             if hit_idx.size:
                 out_pt.append(hit_idx)
                 out_id.append(np.full(hit_idx.shape, self.ids[k]))
+        if not out_pt:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=self.ids.dtype)
+        return np.concatenate(out_pt), np.concatenate(out_id)
+
+    def match(self, px: np.ndarray, py: np.ndarray):
+        """For N points return (point_idx, polygon_id) match pairs
+        (a point may fall in several overlapping polygons)."""
+        if self.grid is None:
+            return self._match_scan(px, py)
+        inv = 1.0 / self.cell_size
+        cx = np.floor(px * inv).astype(np.int64)
+        cy = np.floor(py * inv).astype(np.int64)
+        # group points by grid cell, test each group only against the
+        # polygons bucketed in that cell
+        order = np.lexsort((cy, cx))
+        cxs, cys = cx[order], cy[order]
+        boundaries = np.nonzero((np.diff(cxs) != 0) | (np.diff(cys) != 0))[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(order)]])
+        out_pt: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            key = (int(cxs[s]), int(cys[s]))
+            polys = self.grid.get(key)
+            if polys is None:
+                continue
+            grp = order[s:e]
+            pt, pid = self._match_scan(px[grp], py[grp], polys)
+            if pt.size:
+                out_pt.append(grp[pt])
+                out_id.append(pid)
         if not out_pt:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=self.ids.dtype)
         return np.concatenate(out_pt), np.concatenate(out_id)

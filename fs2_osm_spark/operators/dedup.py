@@ -70,6 +70,9 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame
     banded = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, "bk.band", "bk.key"
     )
+    # pin before the self-join: otherwise BOTH join sides re-run the whole
+    # shingle+minhash pipeline (at cluster scale: persist to storage instead)
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -95,10 +98,15 @@ def connected_components(
     converges in O(diameter) rounds; near-dup clusters are tiny, so
     max_iters=10 is far beyond any realistic diameter. Deterministic.
     """
+    # pin the pair list first — the symmetric union would otherwise compute
+    # the upstream pair-generation pipeline twice; then pin the edge list so
+    # iterations never reach upstream at all
+    pairs = pairs.localCheckpoint()
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("x").alias("id"))

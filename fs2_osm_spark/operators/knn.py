@@ -40,13 +40,19 @@ def knn_kring(
         F.col("lat").alias("t_lat"),
         hex_cell(F.col("lon"), F.col("lat"), res).alias("cell"),
     )
+    # materialize the cell id once before expanding the ring: hex_kring adds
+    # 3r²+3r+1 literal offsets, and inlining hex_cell would replicate its
+    # whole expression tree per offset (codegen blowup)
     q = queries.select(
         F.col(query_id_col),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
-        F.explode(
-            hex_kring(hex_cell(F.col("lon"), F.col("lat"), res), ring)
-        ).alias("cell"),
+        hex_cell(F.col("lon"), F.col("lat"), res).alias("cell0"),
+    ).select(
+        query_id_col,
+        "q_lon",
+        "q_lat",
+        F.explode(hex_kring(F.col("cell0"), ring)).alias("cell"),
     )
     dist = haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("t_lon"), F.col("t_lat"))
     w = Window.partitionBy(query_id_col).orderBy(

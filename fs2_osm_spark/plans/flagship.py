@@ -36,7 +36,7 @@ from fs2_osm_spark.synth.osm import osm_tables
 SCALES = {
     "sf0.001": (2_000, 128),
     "sf0.01": (20_000, 512),
-    "sf0.1": (200_000, 2048),
+    "sf0.1": (8_000_000, 5120),
 }
 HEX_RES = 8
 TILE_Z = 12
@@ -60,6 +60,21 @@ def polygon_corpus(spark: SparkSession, n_zones: int) -> PolygonSet:
     )
 
 
+def flagship_from_tables(images: DataFrame, polygons: PolygonSet) -> DataFrame:
+    """The timed pipeline: geotag -> PIP join -> hex cell + z/x/y tiles.
+    Input-agnostic (synthesized or parquet/Iceberg-scanned images)."""
+    pts = geotag(images).select("image_id", "lon", "lat")
+    joined = broadcast_pip_join(pts, polygons, "lon", "lat", ["image_id", "lon", "lat"])
+    tx, ty = tile_xyz(F.col("lon"), F.col("lat"), TILE_Z)
+    return joined.select(
+        "image_id",
+        "polygon_id",
+        hex_cell(F.col("lon"), F.col("lat"), HEX_RES).alias("cell"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+    )
+
+
 def flagship_query(
     spark: SparkSession,
     sf_dir: str,
@@ -69,18 +84,5 @@ def flagship_query(
     n_img, n_z = scale_for(sf_dir)
     n_img = n_images or n_img
     n_z = n_zones or n_z
-
     images = images_table(spark, n_img)
-    pts = geotag(images).select("image_id", "lon", "lat")
-
-    ps = polygon_corpus(spark, n_z)
-    joined = broadcast_pip_join(pts, ps, "lon", "lat", ["image_id", "lon", "lat"])
-
-    tx, ty = tile_xyz(F.col("lon"), F.col("lat"), TILE_Z)
-    return joined.select(
-        "image_id",
-        "polygon_id",
-        hex_cell(F.col("lon"), F.col("lat"), HEX_RES).alias("cell"),
-        tx.alias("tile_x"),
-        ty.alias("tile_y"),
-    )
+    return flagship_from_tables(images, polygon_corpus(spark, n_z))

@@ -71,3 +71,33 @@ def osm_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         per_feature = c if per_feature is None else per_feature.unionByName(c)
     return per_feature
+
+
+@register("osm_frame_source_decode", oracle=None)
+def osm_frame_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-layer framing contract (PbfReader.scala:11-29 semantics): write
+    a deterministic framed+zlib fixture, scan via binaryFile, inflate, parse
+    blocks, dense-decode to nodes — rows-only (binary path has no SQL twin;
+    golden values pinned in tests/test_scale_layer.py)."""
+    import os
+    import tempfile
+
+    from fs2_osm_spark.sources.pbf_frames import (
+        encode_block,
+        read_nodes_from_frames,
+        write_frames,
+    )
+
+    d = tempfile.mkdtemp(prefix="opf_")
+    path = os.path.join(d, "fixture.opf")
+    blocks = [
+        encode_block(
+            ids=list(range(1, 101)),
+            lats=[500000000] + [1000000] * 99,
+            lons=[80000000] + [1000000] * 99,
+            keys_vals=[1, 2, 0] * 100,
+            string_table=["", "highway", "residential"],
+        )
+    ]
+    write_frames(path, blocks)
+    return read_nodes_from_frames(spark, path)

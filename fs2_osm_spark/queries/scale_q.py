@@ -1,0 +1,96 @@
+"""Scale-layer queries: explicit salting and Hilbert range partitioning.
+
+The salted plans must produce EXACTLY the unsalted results — the oracle is
+the plain GROUP BY / plain join. The Hilbert key is checked against the
+same nested-subquery transform executed by DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.functions import geo
+from fs2_osm_spark.io import load
+from fs2_osm_spark.operators.partitioning import hilbert_sql_layers
+from fs2_osm_spark.operators.skew import salted_broadcast_join, salted_count_sum
+from fs2_osm_spark.queries.registry import register
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS s
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a 3-value (maximally hot) key —
+    result must equal the plain groupBy."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_quantity", "l_orderkey"
+    )
+    out = salted_count_sum(
+        li, ["flag"], "l_quantity", identity_col="l_orderkey", salt_factor=8
+    )
+    return out.select("flag", "n", F.round("s", 2).cast("double").alias("s"))
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(round(sum(c.c_acctbal), 2) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join (hot probe key spread over 8 replicas) — result
+    must equal the plain equi-join."""
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "key", F.col("c_nationkey").cast("bigint")
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("key"), "n_name"
+    )
+    joined = salted_broadcast_join(
+        cust, nation, "key", salt_factor=8, identity_col="c_custkey"
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).cast("double").alias("total_bal"),
+    )
+
+
+_HILBERT_ORDER = 8
+_hx_sql, _hy_sql = geo.tile_xyz_sql(
+    geo.synth_lon_sql("o_orderkey"), geo.synth_lat_sql("o_orderkey"), _HILBERT_ORDER
+)
+_HILBERT_SRC = (
+    f"(SELECT o_orderkey AS point_id, {_hx_sql} AS hx, {_hy_sql} AS hy FROM orders)"
+)
+
+
+@register(
+    "part_hilbert_key",
+    oracle=hilbert_sql_layers(["point_id"], _HILBERT_ORDER).replace(
+        "__h0", _HILBERT_SRC, 1
+    ),
+)
+def part_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert key per point (order 8) — the range-partitioning sort key;
+    oracle executes the identical nested transform in DuckDB."""
+    from fs2_osm_spark.functions.geo import synth_lat, synth_lon, tile_xyz
+
+    orders = load(spark, sf_dir, "orders")
+    tx, ty = tile_xyz(
+        synth_lon(F.col("o_orderkey")), synth_lat(F.col("o_orderkey")), _HILBERT_ORDER
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("point_id"), tx.alias("hx"), ty.alias("hy")
+    )
+    base.createOrReplaceTempView("__h0")
+    return spark.sql(hilbert_sql_layers(["point_id"], _HILBERT_ORDER))

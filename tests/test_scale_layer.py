@@ -1,0 +1,128 @@
+"""Skew operators, Hilbert partitioning, and the frame source."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.operators.partitioning import (
+    hilbert_d_np,
+    hilbert_range_partition,
+    hilbert_sql_layers,
+)
+from fs2_osm_spark.operators.skew import salted_broadcast_join, salted_count_sum
+from fs2_osm_spark.sources.pbf_frames import (
+    encode_block,
+    iter_frames,
+    read_nodes_from_frames,
+    write_frames,
+)
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in salted_count_sum(df, ["k"], "v", "rid", salt_factor=8).collect()
+    }
+    plain = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.range(0, 10000).select(
+        (F.col("id") % 5).alias("key"), F.col("id").alias("rid")
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"key": range(5), "name": [f"k{i}" for i in range(5)]})
+    )
+    a = sorted(
+        (r.rid, r.name)
+        for r in salted_broadcast_join(big, small, "key", 8, "rid").collect()
+    )
+    b = sorted((r.rid, r.name) for r in big.join(small, "key").collect())
+    assert a == b
+
+
+def test_hilbert_bijective_and_adjacent():
+    for order in (2, 4, 6):
+        n = 1 << order
+        xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_d_np(xx.ravel(), yy.ravel(), order)
+        assert sorted(d.tolist()) == list(range(n * n))
+        pos = {int(v): (int(x), int(y)) for v, x, y in zip(d, xx.ravel(), yy.ravel())}
+        for i in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[i], pos[i + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_range_partition_locality(spark):
+    rng = np.random.default_rng(4)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": np.arange(20000),
+                "lon": rng.uniform(-10, 10, 20000),
+                "lat": rng.uniform(40, 60, 20000),
+            }
+        )
+    )
+    parts = hilbert_range_partition(pts, "lon", "lat", order=8, n_partitions=16,
+                                    id_cols=["pid"])
+    # spatial locality: average per-partition hilbert span << global span
+    spans = parts.groupBy(F.spark_partition_id().alias("p")).agg(
+        (F.max("hilbert") - F.min("hilbert")).alias("span")
+    ).collect()
+    global_span = (1 << 16) - 1
+    avg_span = float(np.mean([r.span for r in spans]))
+    assert avg_span < global_span / 8
+
+
+def test_frame_roundtrip_and_spark_decode(spark):
+    blocks = [
+        encode_block([42, 1, 2], [530000000, 10000000, 2000000],
+                     [100000000, 5000000, 1000000], [1, 2, 0, 0, 0],
+                     ["", "amenity", "cafe"]),
+        encode_block([7], [10000000], [10000000], [0], [""],
+                     granularity=200, lat_offset=500000000, lon_offset=-300000000),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "fixture.opf")
+        write_frames(path, blocks)
+        # frame-level parse
+        raw = open(path, "rb").read()
+        assert len(list(iter_frames(raw))) == 2
+        # end-to-end spark decode
+        nodes = {r.osm_id: r for r in read_nodes_from_frames(spark, path).collect()}
+        assert set(nodes) == {42, 43, 45, 7}
+        assert nodes[42].lat == pytest.approx(53.0)
+        assert nodes[45].lat == pytest.approx(54.2)
+        assert nodes[42].tags == {"amenity": "cafe"}
+        assert nodes[7].lat == pytest.approx(2.5)
+        assert nodes[7].lon == pytest.approx(1.7)
+
+
+def test_frame_corruption_detected(spark):
+    import struct
+    import zlib
+
+    payload = encode_block([1], [0], [0], [0], [""])
+    raw = struct.pack(">q", len(payload) + 5) + payload  # wrong raw size
+    frame = zlib.compress(raw)
+    data = struct.pack(">i", len(frame)) + frame
+    with pytest.raises(ValueError, match="raw size mismatch"):
+        list(iter_frames(data))
