@@ -1,0 +1,89 @@
+"""Physical-plan hygiene: pushdown, pruning, broadcast choices, and the
+bytes-stay-out-of-shuffles rule — the properties that decide whether the
+plan survives a 100x scale-up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.io import load
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_parquet(spark):
+    df = load(spark, SF_SMOKE, "lineitem").filter(F.col("l_orderkey") == 7).select(
+        "l_partkey"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_flagship_scan_prunes_bytes(spark):
+    """The spatial join must never read the binary payload column — the
+    pruned scan schema is what makes the pipeline viable at 10^12 rows."""
+    from fs2_osm_spark.functions.pip import PolygonSet
+    from fs2_osm_spark.plans.flagship import flagship_from_tables
+    from fs2_osm_spark.synth.images import IMAGES_SCHEMA
+    import numpy as np
+
+    import tempfile
+
+    from fs2_osm_spark.synth.images import images_table
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/img.parquet"
+        images_table(spark, 50).write.parquet(path)
+        images = spark.read.parquet(path)
+        ps = PolygonSet(
+            [1], [np.array([0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0])], [[]]
+        )
+        plan = _plan(flagship_from_tables(images, ps))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "caption" in read_schema and "image_id" in read_schema
+        assert "bytes" not in read_schema and "phash" not in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    cust = load(spark, SF_SMOKE, "customer")
+    nation = load(spark, SF_SMOKE, "nation")
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_whole_stage_codegen_on_geo_columns(spark):
+    from fs2_osm_spark.functions.geo import synth_lat, synth_lon, tile_xyz
+    from fs2_osm_spark.functions.hex import hex_cell
+
+    orders = load(spark, SF_SMOKE, "orders")
+    lon, lat = synth_lon(F.col("o_orderkey")), synth_lat(F.col("o_orderkey"))
+    x, y = tile_xyz(lon, lat, 12)
+    df = orders.select(x.alias("x"), y.alias("y"), hex_cell(lon, lat, 8).alias("c"))
+    plan = _plan(df)
+    # "*(n)" marks whole-stage-codegen'd operators in the physical plan
+    assert plan.lstrip().startswith("*(")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    li = load(spark, SF_SMOKE, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(agg)
+    # two HashAggregate nodes: partial (map-side combine) then final
+    assert plan.count("HashAggregate") >= 2
