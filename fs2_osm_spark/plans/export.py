@@ -1,0 +1,86 @@
+"""End-to-end export lifecycle — the PostgresExporter.runExport equivalent.
+
+Reference shape (/root/reference/postgres/src/main/scala/fs2/osm/postgres/
+PostgresExporter.scala:41-58): Phase A streams entities through a 3-way
+broadcastThrough fan-out into nodes/ways/relations sinks, folding a Summary
+monoid; Phase B runs every feature's INSERT…SELECT after a barrier.
+
+Spark-first re-expression:
+- the fan-out (D1) becomes compute-once / consume-many: the decoded entity
+  DataFrames are written once per kind — no re-decode, no per-entity objects;
+- the way sink (S13, WayImporter.scala:25-53) writes `ways` plus the
+  order-bearing exploded `ways_nodes(way_id, node_id, index)`;
+- the relation sink (S14, RelationImporter.scala:21-70) splits members by
+  kind and dedupes on (relation_id, member_id, role) keep-first — the
+  ON CONFLICT DO NOTHING equivalent (R27);
+- Summary (D6, Summary.scala:6-50) becomes a per-table inserted-count dict;
+- Phase B materializes the whole feature catalog (run_all_features) after
+  the raw tables land — Highway/Coastline consume the assembled osm_lines
+  (derived-table reuse, R11), which is cached once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.operators.assembly import (
+    build_multipolygons,
+    build_osm_lines,
+    simple_polygons,
+)
+from fs2_osm_spark.plans.features import run_all_features
+
+
+def run_export(
+    spark: SparkSession,
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    relations_ways: DataFrame,
+    output_root: str,
+) -> dict[str, int]:
+    """Load raw tables, then run the feature catalog. Returns the Summary:
+    table name -> rows written."""
+    summary: dict[str, int] = {}
+
+    def sink(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(output_root, name)
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        summary[name] = out.count()
+        return out
+
+    # ---- Phase A: raw tables (the importer fan-out) ----
+    nodes_t = sink(nodes, "nodes")
+    ways_t = sink(ways, "ways")
+    sink(
+        ways.select(
+            F.col("osm_id").alias("way_id"),
+            F.posexplode("nodes").alias("index", "node_id"),
+        ).select("way_id", "node_id", "index"),
+        "ways_nodes",
+    )
+    rels_t = sink(relations, "relations")
+    sink(
+        relations_ways.groupBy("relation_id", "way_id", "role").agg(
+            F.min("index").alias("index")
+        ),
+        "relations_ways",
+    )
+
+    # ---- Phase B: feature passes (after the barrier) ----
+    lines = build_osm_lines(ways_t, nodes_t).cache()
+    polys = simple_polygons(lines).unionByName(
+        build_multipolygons(rels_t, spark.read.parquet(
+            os.path.join(output_root, "relations_ways")
+        ), lines)
+    )
+    sink(lines, "osm_lines")
+    sink(polys, "polygons")
+    for name, df in run_all_features(lines, polys).items():
+        sink(df, name)
+    lines.unpersist()
+    return summary

@@ -28,7 +28,8 @@ from pyspark.sql import types as T
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.StringType(), False),
-        T.StructField("status", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # ok | partition
+        T.StructField("partition_id", T.LongType(), True),
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("n_partitions", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
@@ -51,10 +52,21 @@ class LineageLog:
         rows = df.filter(F.col("status") == "ok").select("batch_id").distinct().collect()
         return {r.batch_id for r in rows}
 
-    def record(self, batch_id: str, n_rows: int, n_partitions: int, wall_ms: int) -> None:
-        row = [(batch_id, "ok", n_rows, n_partitions, wall_ms)]
-        base = T.StructType(LINEAGE_SCHEMA.fields[:5])
-        df = self.spark.createDataFrame(row, base).withColumn(
+    def record(
+        self,
+        batch_id: str,
+        n_rows: int,
+        n_partitions: int,
+        wall_ms: int,
+        partition_rows: list[tuple[int, int]] | None = None,
+    ) -> None:
+        """One 'ok' row per batch + one 'partition' row per spark partition
+        (the per-partition lineage/metrics rows of the north rule)."""
+        rows = [(batch_id, "ok", None, n_rows, n_partitions, wall_ms)]
+        for pid, n in partition_rows or []:
+            rows.append((batch_id, "partition", pid, n, n_partitions, wall_ms))
+        base = T.StructType(LINEAGE_SCHEMA.fields[:6])
+        df = self.spark.createDataFrame(rows, base).withColumn(
             "attempt_ts", F.current_timestamp()
         )
         df.coalesce(1).write.mode("append").parquet(self.dir)
@@ -94,11 +106,21 @@ def run_batched(
         part = source.filter(F.col(batch_col).cast("string") == b)
         out = transform(part) if transform is not None else part
         out = out.cache()
-        n = out.count()
-        n_parts = out.rdd.getNumPartitions()
+        pstats = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n = sum(r.n for r in pstats)
         out.write.mode("overwrite").parquet(os.path.join(root, "data", f"batch={b}"))
         out.unpersist()
-        log.record(b, n, n_parts, int((time.time() - t0) * 1000))
+        log.record(
+            b,
+            n,
+            len(pstats),
+            int((time.time() - t0) * 1000),
+            partition_rows=[(int(r.pid), int(r.n)) for r in pstats],
+        )
         processed += 1
     return processed
 

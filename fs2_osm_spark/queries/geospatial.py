@@ -330,3 +330,39 @@ def geo_pip_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_pip_join(
         pts, polygons, res=0, lon_col="lon", lat_col="lat", point_keep=["point_id"]
     )
+
+
+# --------------------------------------------------------------------------
+# Quadkey: interleaved-bit tile key, prefix-comparable across zoom levels —
+# the sort key of cell-prefix joins. Oracle uses the arithmetic form
+# (floor-div/mod), Spark the shift form; equal for nonnegative ints.
+# --------------------------------------------------------------------------
+_QK_Z = 8
+_qk_x_sql, _qk_y_sql = geo.tile_xyz_sql(
+    geo.synth_lon_sql("o_orderkey"), geo.synth_lat_sql("o_orderkey"), _QK_Z
+)
+_qk_terms = " + ".join(
+    f"((CAST(floor(CAST(tx AS DOUBLE) / {1 << i}) AS BIGINT) % 2)"
+    f" + 2 * (CAST(floor(CAST(ty AS DOUBLE) / {1 << i}) AS BIGINT) % 2)) * {4 ** i}"
+    for i in range(_QK_Z)
+)
+
+
+@register(
+    "geo_quadkey",
+    oracle=f"""
+    SELECT point_id, CAST({_qk_terms} AS BIGINT) AS qk FROM (
+        SELECT o_orderkey AS point_id, {_qk_x_sql} AS tx, {_qk_y_sql} AS ty
+        FROM orders
+    )
+    """,
+)
+def geo_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fs2_osm_spark.functions.geo import quadkey, synth_lat, synth_lon, tile_xyz
+
+    orders = load(spark, sf_dir, "orders")
+    x, y = tile_xyz(
+        synth_lon(F.col("o_orderkey")), synth_lat(F.col("o_orderkey")), _QK_Z
+    )
+    base = orders.select(F.col("o_orderkey").alias("point_id"), x.alias("tx"), y.alias("ty"))
+    return base.select("point_id", quadkey(F.col("tx"), F.col("ty"), _QK_Z).alias("qk"))

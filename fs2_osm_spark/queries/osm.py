@@ -101,3 +101,22 @@ def osm_frame_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     write_frames(path, blocks)
     return read_nodes_from_frames(spark, path)
+
+
+@register("osm_export_summary", oracle=None)
+def osm_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full runExport lifecycle (PostgresExporter.scala:41-58 parity):
+    raw-table fan-out -> phase barrier -> all feature passes; returns the
+    Summary fold (table -> rows written), one row per materialized table."""
+    import tempfile
+
+    from fs2_osm_spark.plans.export import run_export
+
+    t = osm_tables(spark, 128)
+    root = tempfile.mkdtemp(prefix="export_")
+    summary = run_export(
+        spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"], root
+    )
+    return spark.createDataFrame(
+        sorted(summary.items()), "table_name string, n_rows long"
+    )

@@ -56,6 +56,13 @@ def test_run_batched_then_resume(spark, source):
         rows = m.filter(F.col("status") == "ok").collect()
         assert len(rows) == 5
         assert all(r.n_rows == 100 and r.wall_ms >= 0 for r in rows)
+        # per-partition lineage rows sum to each batch's total
+        prows = m.filter(F.col("status") == "partition").collect()
+        assert prows, "expected per-partition lineage rows"
+        per_batch = {}
+        for r in prows:
+            per_batch[r.batch_id] = per_batch.get(r.batch_id, 0) + r.n_rows
+        assert all(v == 100 for v in per_batch.values())
 
 
 def test_streaming_windowed_counts_match_batch(spark):
@@ -95,3 +102,25 @@ def test_streaming_dedupe_matches_batch_distinct(spark):
         )
     )
     assert got == want
+
+
+def test_run_export_summary_and_outputs(spark, tmp_path):
+    from fs2_osm_spark.plans.export import run_export
+    from fs2_osm_spark.synth.osm import osm_tables
+
+    t = osm_tables(spark, 64)
+    summary = run_export(
+        spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
+        str(tmp_path / "export"),
+    )
+    assert summary["nodes"] == 64 * 8 + 8 * 4  # ring nodes + hole nodes
+    assert summary["ways"] == 64 * 2 + 8 * 3
+    assert summary["ways_nodes"] > summary["ways"] * 3
+    assert summary["relations"] == 8
+    assert summary["polygons"] == 64 + 8  # zone rings + multipolygons
+    # every catalog feature materialized
+    for feat in ("highways", "waters", "buildings", "woods", "rails"):
+        assert feat in summary
+    # phase-B derived tables exist on disk and reload
+    lines = spark.read.parquet(str(tmp_path / "export" / "osm_lines"))
+    assert lines.count() == summary["osm_lines"]
