@@ -1,0 +1,290 @@
+"""Second tranche of relational operators: the remaining SURVEY.md §2.3
+shapes (R11 derived-table reuse, R21 ST_Collect, R22 ST_Dump, R23
+geometry-type filter, D6 summary fold) plus TPC-H-style multi-join
+aggregations exercising Catalyst's join reordering and partial aggregation
+at depth."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.io import load
+from fs2_osm_spark.queries.registry import register
+
+
+# --------------------------------------------------------------------------
+# R21: ST_Collect — gather member geometries into one collection column.
+# Analogue: per supplier, the sorted set of part ids supplied (rendered as
+# a string so the value hash is array-layout independent).
+# --------------------------------------------------------------------------
+@register(
+    "r21_collect_members",
+    oracle="""
+    SELECT l_suppkey AS supp_id,
+           array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS members,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_members
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def r21_collect_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    members = F.array_sort(F.collect_set("l_partkey"))
+    return li.groupBy(F.col("l_suppkey").alias("supp_id")).agg(
+        F.concat_ws(",", F.transform(members, lambda x: x.cast("string"))).alias(
+            "members"
+        ),
+        F.count_distinct(F.col("l_partkey")).alias("n_members"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R22: ST_Dump — explode a multi-geometry into its component parts.
+# Analogue: split each order's lineitems into contiguous runs by returnflag
+# (the "parts" of the collection), then explode runs to rows.
+# --------------------------------------------------------------------------
+@register(
+    "r22_dump_parts",
+    oracle="""
+    SELECT l_orderkey AS order_id, l_returnflag AS part_kind,
+           CAST(count(*) AS BIGINT) AS part_size
+    FROM lineitem GROUP BY l_orderkey, l_returnflag
+    """,
+)
+def r22_dump_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the nested collection (order -> [(kind, size)...]) then explode
+    it back out — the collect/dump round trip of R21/R22."""
+    li = load(spark, sf_dir, "lineitem")
+    inner = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("part_size")
+    )
+    nested = inner.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_returnflag", "part_size"))).alias(
+            "parts"
+        )
+    )
+    return nested.select(
+        F.col("l_orderkey").alias("order_id"), F.explode("parts").alias("p")
+    ).select(
+        "order_id",
+        F.col("p.l_returnflag").alias("part_kind"),
+        F.col("p.part_size").alias("part_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R23: geometry-type filter (WHERE ST_GeometryType(geom) = ...).
+# Analogue: discriminate rows by a computed type tag, keep one type.
+# --------------------------------------------------------------------------
+@register(
+    "r23_type_filter",
+    oracle="""
+    SELECT order_id, kind FROM (
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_totalprice > 150000 THEN 'multi'
+                    WHEN o_totalprice > 50000 THEN 'line'
+                    ELSE 'point' END AS kind
+        FROM orders
+    ) WHERE kind = 'line'
+    """,
+)
+def r23_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    kind = (
+        F.when(F.col("o_totalprice") > 150000, "multi")
+        .when(F.col("o_totalprice") > 50000, "line")
+        .otherwise("point")
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"), kind.alias("kind")
+    ).filter(F.col("kind") == "line")
+
+
+# --------------------------------------------------------------------------
+# R11: derived-table reuse — build a derived relation once, feed two
+# downstream consumers (the osm_lines -> highways/coastlines shape).
+# --------------------------------------------------------------------------
+@register(
+    "r11_derived_reuse",
+    oracle="""
+    WITH order_stats AS (
+        SELECT l_orderkey AS order_id,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'big' AS consumer, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(total), 2) AS DOUBLE) AS vol
+    FROM order_stats WHERE n_items > 4
+    UNION ALL
+    SELECT 'small' AS consumer, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(total), 2) AS DOUBLE) AS vol
+    FROM order_stats WHERE n_items <= 4
+    """,
+)
+def r11_derived_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).cast("double").alias("total"),
+        )
+        .cache()  # compute once, consume twice (D1/R11)
+    )
+    big = stats.filter(F.col("n_items") > 4).agg(
+        F.lit("big").alias("consumer"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("total"), 2).cast("double").alias("vol"),
+    )
+    small = stats.filter(F.col("n_items") <= 4).agg(
+        F.lit("small").alias("consumer"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("total"), 2).cast("double").alias("vol"),
+    )
+    return big.unionByName(small)
+
+
+# --------------------------------------------------------------------------
+# D6: Summary monoid fold — merge per-writer (table -> count) maps.
+# --------------------------------------------------------------------------
+@register(
+    "d6_summary_fold",
+    oracle="""
+    SELECT kind AS table_name, CAST(count(*) AS BIGINT) AS inserted FROM (
+        SELECT CASE WHEN event_type IN ('click', 'view') THEN 'nodes'
+                    WHEN event_type = 'purchase' THEN 'ways'
+                    ELSE 'relations' END AS kind
+        FROM events
+    ) GROUP BY kind
+    """,
+)
+def d6_summary_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    kind = (
+        F.when(F.col("event_type").isin("click", "view"), "nodes")
+        .when(F.col("event_type") == "purchase", "ways")
+        .otherwise("relations")
+    )
+    return ev.select(kind.alias("table_name")).groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("inserted")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style depth: shipping-priority (Q3 shape) and local-volume (Q5
+# shape) — multi-join + filter + agg + top-k, the plans Catalyst must
+# reorder well.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey AS order_id,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+               AS revenue,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, order_id
+    LIMIT 20
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_id"))
+        .limit(20)
+        .select("order_id", "revenue", "priority")
+    )
+
+
+@register(
+    "tpch_q5_local_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S2 cell assignment (rows-only: the Hilbert-on-cube-face math has no
+# tractable SQL twin; invariants pinned in tests/test_geo_kernels.py).
+# --------------------------------------------------------------------------
+@register("geo_s2_cell_assignment", oracle=None)
+def geo_s2_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fs2_osm_spark.functions.geo import synth_lat, synth_lon
+    from fs2_osm_spark.functions.s2 import s2_cell_np
+
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        synth_lon(F.col("c_custkey")).alias("lon"),
+        synth_lat(F.col("c_custkey")).alias("lat"),
+    )
+
+    def assign(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"],
+                    "s2_l12": s2_cell_np(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 12),
+                    "s2_l30": s2_cell_np(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 30),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("point_id", T.LongType(), False),
+            T.StructField("s2_l12", T.LongType(), False),
+            T.StructField("s2_l30", T.LongType(), False),
+        ]
+    )
+    return pts.mapInPandas(assign, schema)
