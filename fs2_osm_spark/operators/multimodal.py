@@ -162,3 +162,68 @@ def resize_block_mean(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_png", T.BinaryType(), False),
+        T.StructField("frame_w", T.IntegerType(), False),
+        T.StructField("frame_h", T.IntegerType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, n_frames: int = 16) -> DataFrame:
+    """Video frame sampling — Spark-side plumbing is real, the video DECODE
+    is a STUB (no video codec libs in this container).
+
+    Contract: media(media_id, bytes, fmt) where fmt='fakevideo' payloads are
+    a deterministic container of n_frames PNG frames (built by
+    make_fake_video below); real deployments swap `_decode_video` for an
+    ffmpeg/PyAV call with the same signature. Every `every_n`-th frame is
+    emitted as its own row (one row per sampled frame — the explode shape a
+    frame-level training pipeline consumes), re-encoded as PNG.
+    """
+
+    def _decode_video(payload: bytes, fmt: str) -> list[np.ndarray]:
+        if fmt == "fakevideo":
+            frames = []
+            pos = 0
+            while pos < len(payload):
+                ln = int.from_bytes(payload[pos : pos + 4], "big")
+                frames.append(decode_image(payload[pos + 4 : pos + 4 + ln], "png"))
+                pos += 4 + ln
+            return frames
+        raise NotImplementedError(
+            f"real video decode ({fmt}) requires a codec library absent here"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                frames = _decode_video(bytes(r.bytes), r.fmt)
+                for i in range(0, len(frames), every_n):
+                    img = frames[i]
+                    rows.append(
+                        (r.media_id, i, encode_png(img), img.shape[1], img.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_png", "frame_w", "frame_h"],
+            )
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(fn, FRAME_SCHEMA)
+
+
+def make_fake_video(media_id: int, n_frames: int = 16, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic fake video payload: length-prefixed PNG frames."""
+    out = bytearray()
+    for i in range(n_frames):
+        rng = np.random.default_rng(media_id * 1000 + i)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        png = encode_png(img)
+        out += len(png).to_bytes(4, "big") + png
+    return bytes(out)

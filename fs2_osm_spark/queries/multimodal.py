@@ -65,3 +65,23 @@ def img_geotag_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def img_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = images_table(spark, 500)
     return resize_block_mean(images, 8, 8).select("image_id", "w", "h")
+
+
+@register("img_frame_sample", oracle=None)
+def img_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (decode stubbed behind a deterministic fake
+    container — no codec libs here; Spark plumbing real): 200 fake videos
+    x 16 frames, every 4th sampled -> 800 frame rows."""
+    import pandas as pd
+
+    from fs2_osm_spark.operators.multimodal import make_fake_video, sample_frames
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"vid_{i:06d}", make_fake_video(i), "fakevideo") for i in range(200)],
+            columns=["media_id", "bytes", "fmt"],
+        )
+    )
+    return sample_frames(media, every_n=4).select(
+        "media_id", "frame_idx", "frame_w", "frame_h"
+    )

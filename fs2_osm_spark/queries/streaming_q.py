@@ -73,3 +73,41 @@ def lineage_batched_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform=lambda df: df.withColumn("v", F.col("id") * 2),
     )
     return LineageLog(spark, root).metrics().select("batch_id", "status", "n_rows")
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, sess_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sess_id
+    )
+    SELECT g.user_id, g.session_start, g.session_end, g.n_events
+    FROM g JOIN (SELECT user_id, max(sess_id) AS last_id FROM g GROUP BY user_id) z
+      ON g.user_id = z.user_id
+    WHERE g.sess_id <> z.last_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    6h-gap session windows, executed as a real streaming query; the oracle
+    re-derives closed sessions with window SQL (the final open session per
+    user stays in state on the bounded replay — see sessionize_users)."""
+    from fs2_osm_spark.streaming.events import sessionize_users
+
+    return sessionize_users(spark, sf_dir, gap_hours=6)

@@ -107,3 +107,82 @@ def stream_dedupe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(dedup, "stream_dedupe_rows", "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+def sessionize_users(spark: SparkSession, sf_dir: str, gap_hours: int = 6) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user session
+    windows with a `gap_hours` inactivity gap.
+
+    State per user: (session_start, last_ts, n_events). An event extends the
+    open session if within the gap, else closes it (emitted) and opens a new
+    one. On a live stream a timeout would flush idle open sessions; this
+    bounded replay uses NoTimeout (a processing-time timeout keeps the
+    micro-batch engine scheduling wake-ups, so processAllAvailable never
+    drains) and the final open session per user stays in state — the
+    batch-parity test therefore compares closed sessions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    stream = _events_stream(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("session_start", T.TimestampType(), False),
+            T.StructField("session_end", T.TimestampType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType(), False),
+            T.StructField("last_us", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    gap_ns = gap_hours * 3600 * 1_000_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed = []
+        ts_ns: list[int] = []
+        for pdf in pdfs:
+            ts_ns.extend(
+                pdf["ts"].astype("datetime64[ns]").astype("int64").tolist()
+            )
+        ts_ns.sort()
+        if state.exists:
+            s, l, n = state.get
+        else:
+            s = l = None
+            n = 0
+        for t in ts_ns:
+            if s is None:
+                s = l = t
+                n = 1
+            elif t - l <= gap_ns:
+                l = t
+                n += 1
+            else:
+                closed.append((user_id, s, l, n))
+                s = l = t
+                n = 1
+        if s is not None:
+            state.update((s, l, n))
+        if closed:
+            df = pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+            df["session_start"] = pd.to_datetime(df["session_start"], unit="ns")
+            df["session_end"] = pd.to_datetime(df["session_end"], unit="ns")
+            yield df
+
+    sessions = (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    out = run_to_memory(sessions, "sessionize_users", "append")
+    return out

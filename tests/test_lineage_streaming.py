@@ -124,3 +124,40 @@ def test_run_export_summary_and_outputs(spark, tmp_path):
     # phase-B derived tables exist on disk and reload
     lines = spark.read.parquet(str(tmp_path / "export" / "osm_lines"))
     assert lines.count() == summary["osm_lines"]
+
+
+def test_sessionize_matches_batch_closed_sessions(spark):
+    from pyspark.sql.window import Window
+
+    from fs2_osm_spark.streaming.events import sessionize_users
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_users(spark, SF_SMOKE, gap_hours=6).collect()
+    )
+    # batch sessionization: gap > 6h starts a new session; drop each user's
+    # final (still-open-at-stream-end) session
+    ev = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.withColumn(
+        "new_sess",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > 6 * 3600
+        ).cast("int"),
+    ).withColumn("sess_id", F.sum(F.coalesce("new_sess", F.lit(0))).over(w))
+    sessions = marked.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    last = sessions.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    closed = sessions.join(last, "user_id").filter(F.col("sess_id") != F.col("last_id"))
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in closed.collect()
+    )
+    assert got == want and len(got) > 0
