@@ -288,3 +288,58 @@ def geo_s2_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pts.mapInPandas(assign, schema)
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup — beyond the reference's surface (SURVEY §2.3 notes
+# it has none); target-side capability for hierarchical summaries.
+# --------------------------------------------------------------------------
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )

@@ -128,3 +128,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("doc_id").agg(
         (F.sum(term) % 1000000007).cast("bigint").alias("fingerprint")
     )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters runs / digit runs / punct),
+    the pre-tokenizer split shape; pattern chosen to behave identically
+    under Java regex (Spark) and RE2 (DuckDB)."""
+    docs = load(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("n_bpe_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).cast("bigint").alias("n_numbers"),
+    )
