@@ -85,3 +85,36 @@ def img_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_n=4).select(
         "media_id", "frame_idx", "frame_w", "frame_h"
     )
+
+
+@register("img_rasterize_vectorize", oracle=None)
+def img_rasterize_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize the OSM polygon corpus into z12 tile masks (PNG) and
+    re-vectorize each mask in the same pass (north-star round trip).
+    Tiles = the z12 tiles containing the hot-city centers + neighbors."""
+    import pandas as pd
+
+    from fs2_osm_spark.functions.geo import MERCATOR_LAT_MAX  # noqa: F401
+    from fs2_osm_spark.operators.raster import rasterize_tiles
+    from fs2_osm_spark.plans.flagship import polygon_corpus
+    from fs2_osm_spark.synth.images import CITIES
+
+    import math
+
+    z = 12
+    n = 1 << z
+    tiles = set()
+    for lon, lat in CITIES:
+        tx = int((lon + 180.0) / 360.0 * n)
+        lr = math.radians(lat)
+        ty = int((1 - math.log(math.tan(lr) + 1 / math.cos(lr)) / math.pi) / 2 * n)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tiles.add((tx + dx, ty + dy))
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(sorted(tiles), columns=["x", "y"])
+    )
+    ps = polygon_corpus(spark, 256)
+    return rasterize_tiles(tiles_df, ps, z, size=64).select(
+        "z", "x", "y", "covered_px", "n_rings_vectorized"
+    )
