@@ -128,6 +128,23 @@ def main() -> None:
 
     timings: dict[str, float] = {"flagship_spatial_join": round(flagship_sec, 3)}
     if not args.flagship_only:
+        # strategy comparison: same join through the cell-keyed equi-join +
+        # exact-refine path (the large-corpus plan shape)
+        from pyspark.sql import functions as F
+
+        from fs2_osm_spark.operators.multimodal import geotag
+        from fs2_osm_spark.operators.spatial_join import cell_pip_join
+
+        images = spark.read.parquet(img_path)
+        polys = spark.read.parquet(poly_path)
+        pts = geotag(images).select("image_id", "lon", "lat")
+        t0 = time.time()
+        cell_rows = cell_pip_join(
+            pts, polys, res=7, lon_col="lon", lat_col="lat",
+            point_keep=["image_id"],
+        ).count()
+        timings["flagship_cell_join_strategy"] = round(time.time() - t0, 3)
+        assert cell_rows == out_rows, (cell_rows, out_rows)
         for name in HEADLINE:
             q = QUERIES[name]
             t0 = time.time()

@@ -140,25 +140,34 @@ def hex_kring(cell: Column, k: int) -> Column:
     )
 
 
-def hex_parent(cell: Column, parent_res: int) -> Column:
-    """Parent cell: the res-1 (or coarser) hex containing this cell's center.
+def hex_parent(cell: Column, parent_res: int, child_res: int | None = None) -> Column:
+    """Parent cell: the coarser hex containing this cell's center.
     Geometric containment (consistent, deterministic), matching the H3
-    parent-of-center contract."""
+    parent-of-center contract.
+
+    Pass child_res when the input resolution is statically known — the
+    dynamic variant builds a when-chain with one full hex_cell expression
+    per possible resolution (heavy codegen)."""
     res_part = cell - (cell % F.lit(ID_RES_MUL))
     rest = cell % F.lit(ID_RES_MUL)
     q = (rest / F.lit(ID_Q_MUL)).cast("bigint") - F.lit(Q_OFFSET)
     r = rest % F.lit(ID_Q_MUL) - F.lit(Q_OFFSET)
-    res = (res_part / F.lit(ID_RES_MUL)).cast("int")
-    # center of the child hex, recomputed per res via when-chain
-    out = None
-    for child_res in range(1, MAX_RES + 1):
-        if parent_res >= child_res:
-            continue
-        s = hex_size(child_res)
+
+    def parent_for(cres: int) -> Column:
+        s = hex_size(cres)
         lon = F.lit(s) * (F.lit(SQRT3) * q + F.lit(SQRT3 / 2.0) * r)
         lat = F.lit(s) * (F.lit(1.5) * r)
-        parent = hex_cell(lon, lat, parent_res)
-        out = F.when(res == child_res, parent) if out is None else out.when(
-            res == child_res, parent
-        )
+        return hex_cell(lon, lat, parent_res)
+
+    if child_res is not None:
+        assert child_res > parent_res
+        return parent_for(child_res)
+
+    res = (res_part / F.lit(ID_RES_MUL)).cast("int")
+    out = None
+    for cres in range(1, MAX_RES + 1):
+        if parent_res >= cres:
+            continue
+        p = parent_for(cres)
+        out = F.when(res == cres, p) if out is None else out.when(res == cres, p)
     return out.otherwise(F.lit(None).cast("bigint"))

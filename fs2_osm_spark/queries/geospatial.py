@@ -366,3 +366,46 @@ def geo_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = orders.select(F.col("o_orderkey").alias("point_id"), x.alias("tx"), y.alias("ty"))
     return base.select("point_id", quadkey(F.col("tx"), F.col("ty"), _QK_Z).alias("qk"))
+
+
+# --------------------------------------------------------------------------
+# Aperture-7 parent lookup: parent(cell) = cell at coarser res containing
+# the child's center — oracled by composing the same center + cell formulas
+# in SQL.
+# --------------------------------------------------------------------------
+def _hex_parent_sql(lon: str, lat: str, child_res: int, parent_res: int) -> str:
+    from fs2_osm_spark.functions.hex import SQRT3, hex_size
+
+    q, r = _hex_qr_sql(lon, lat, child_res)
+    s = hex_size(child_res)
+    # CAST the literals: DuckDB parses long numeric literals as DECIMAL and
+    # deep decimal multiplication overflows scale 38
+    clon = (
+        f"(CAST({s!r} AS DOUBLE) * (CAST({SQRT3!r} AS DOUBLE) * {q}"
+        f" + CAST({SQRT3 / 2.0!r} AS DOUBLE) * {r}))"
+    )
+    clat = f"(CAST({s!r} AS DOUBLE) * (1.5 * {r}))"
+    return hex_cell_sql(clon, clat, parent_res)
+
+
+@register(
+    "geo_hex_parent",
+    oracle=f"""
+    SELECT c_custkey AS point_id,
+           {hex_cell_sql(geo.synth_lon_sql("c_custkey"), geo.synth_lat_sql("c_custkey"), 9)} AS child,
+           {_hex_parent_sql(geo.synth_lon_sql("c_custkey"), geo.synth_lat_sql("c_custkey"), 9, 8)} AS parent
+    FROM customer
+    """,
+)
+def geo_hex_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fs2_osm_spark.functions.hex import hex_parent
+
+    cust = load(spark, sf_dir, "customer")
+    lon = geo.synth_lon(F.col("c_custkey"))
+    lat = geo.synth_lat(F.col("c_custkey"))
+    child = hex_cell(lon, lat, 9)
+    return cust.select(
+        F.col("c_custkey").alias("point_id"),
+        child.alias("child"),
+        hex_parent(child, 8, child_res=9).alias("parent"),
+    )
