@@ -165,7 +165,13 @@ def cell_pip_join(
                 idx = grp.index.to_numpy()
                 loc = pdf.index.get_indexer(idx)
                 outer = np.asarray(grp["outer"].iloc[0], np.float64)
-                inners = [np.asarray(h, np.float64) for h in (grp["inners"].iloc[0] or [])]
+                raw_inners = grp["inners"].iloc[0]
+                # arrives as a numpy object array from Arrow — no `or []`
+                # (truth value of an array is ambiguous)
+                inners = [
+                    np.asarray(h, np.float64)
+                    for h in (raw_inners if raw_inners is not None else [])
+                ]
                 keep[loc] = polygon_contains(outer, inners, px[loc], py[loc])
             out = pdf.loc[keep, point_keep + ["polygon_id"]]
             yield out
