@@ -343,3 +343,78 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Target-side joins beyond the reference's surface (it has only inner /
+# lateral-cross / semi — SURVEY §2.3 notes): anti join and null-preserving
+# left outer join, both staples of training-data pipelines (e.g. "documents
+# with no dedup cluster yet").
+# --------------------------------------------------------------------------
+@register(
+    "r_anti_join",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_mktsegment AS segment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def r_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        F.col("c_custkey").cast("bigint").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "r_left_outer_join",
+    oracle="""
+    SELECT CAST(c.c_custkey AS BIGINT) AS cust_id,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(round(coalesce(sum(o.o_totalprice), 0.0), 2) AS DOUBLE) AS total
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def r_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").cast("bigint").alias("cust_id"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentiles — skew diagnostics (cell-histogram tails
+# drive the salting factor).
+# --------------------------------------------------------------------------
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4)
+        .cast("double")
+        .alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4)
+        .cast("double")
+        .alias("p95"),
+    )
