@@ -409,3 +409,43 @@ def geo_hex_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         child.alias("child"),
         hex_parent(child, 8, child_res=9).alias("parent"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-ring expansion as a first-class operator: cell -> all cells within hex
+# distance k. Oracle generates the same disk via a range cross product with
+# the hex-distance predicate.
+# --------------------------------------------------------------------------
+_KR_RES = 6
+_kr_q, _kr_r = _hex_qr_sql(
+    geo.synth_lon_sql("s_suppkey"), geo.synth_lat_sql("s_suppkey"), _KR_RES
+)
+
+
+@register(
+    "geo_kring_expansion",
+    oracle=f"""
+    WITH base AS (
+        SELECT s_suppkey AS point_id, {_kr_q} AS q, {_kr_r} AS r FROM supplier
+    )
+    SELECT point_id,
+           CAST({_KR_RES} AS BIGINT) * {1 << 52}
+             + (q + dq + {1 << 25}) * {1 << 26} + (r + dr + {1 << 25}) AS neighbor_cell
+    FROM base
+    CROSS JOIN (SELECT unnest(range(-2, 3)) AS dq)
+    CROSS JOIN (SELECT unnest(range(-2, 3)) AS dr)
+    WHERE (abs(dq) + abs(dr) + abs(dq + dr)) / 2 <= 2
+    """,
+)
+def geo_kring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fs2_osm_spark.functions.hex import hex_kring
+
+    sup = load(spark, sf_dir, "supplier")
+    cell = hex_cell(
+        geo.synth_lon(F.col("s_suppkey")), geo.synth_lat(F.col("s_suppkey")), _KR_RES
+    )
+    return sup.select(
+        F.col("s_suppkey").alias("point_id"), cell.alias("cell0")
+    ).select(
+        "point_id", F.explode(hex_kring(F.col("cell0"), 2)).alias("neighbor_cell")
+    )

@@ -120,3 +120,55 @@ def osm_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(summary.items()), "table_name string, n_rows long"
     )
+
+
+@register(
+    "osm_decode_semantics_oracle",
+    oracle="""
+    SELECT order_id, pos,
+           decoded_id,
+           CAST(round(1e-9 * (500000000 + 100 * coord_sum), 9) AS DOUBLE) AS coord
+    FROM (
+        SELECT l_orderkey AS order_id,
+               CAST(row_number() OVER w AS BIGINT) AS pos,
+               CAST(sum(l_partkey) OVER w AS BIGINT) AS decoded_id,
+               sum(l_quantity * 100000) OVER w AS coord_sum
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    """,
+)
+def osm_decode_semantics_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense-decode CONTRACT (SURVEY §4.3 items 1-2) under the oracle on
+    neutral data: delta chains are running sums in arrival order, and the
+    coordinate formula 1e-9*(offset + granularity*sum) — here offset=5e8,
+    granularity=100 — must match bit-for-bit in both engines."""
+    from fs2_osm_spark.io import load
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+            )
+        )
+        .cast("bigint")
+        .alias("pos"),
+        F.sum("l_partkey").over(w).cast("bigint").alias("decoded_id"),
+        F.round(
+            1e-9 * (F.lit(500000000) + 100 * F.sum(F.col("l_quantity") * 100000).over(w)),
+            9,
+        )
+        .cast("double")
+        .alias("coord"),
+    )
