@@ -230,3 +230,46 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(corpus, n_centroids=16)
     assigned = ivf_assign(corpus, cents)
     return ivf_search(assigned, cents, queries, k=TOP_K, n_probe=4)
+
+
+@register(
+    "sim_embedding_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, v, m,
+               list_transform(v, x -> round(x * 127.0 / m)) AS qv
+        FROM e
+    ),
+    d AS (
+        SELECT vec_id, v,
+               list_transform(qv, x -> x * m / 127.0) AS dv
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(round(list_dot_product(v, dv)
+                / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv))),
+                5) AS DOUBLE) AS recon_cos
+    FROM d
+    """,
+)
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (per-vector absmax scale) + dequantize +
+    reconstruction cosine — the storage-compression op of an embedding
+    pipeline; quantize/dequantize are higher-order Column functions
+    (JVM-side), and the oracle mirrors them with DuckDB list lambdas."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v")).withColumn(
+        "m", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    )
+    qv = F.transform(F.col("v"), lambda x: F.round(x * 127.0 / F.col("m"), 0))
+    d = e.withColumn("qv", qv).withColumn(
+        "dv", F.transform(F.col("qv"), lambda x: x * F.col("m") / 127.0)
+    )
+    cos = _cosine(F.col("v"), F.col("dv"))
+    return d.select("vec_id", F.round(cos, 5).cast("double").alias("recon_cos"))

@@ -111,3 +111,45 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fs2_osm_spark.streaming.events import sessionize_users
 
     return sessionize_users(spark, sf_dir, gap_hours=6)
+
+
+@register(
+    "stream_multirollup",
+    oracle="""
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total
+    FROM events GROUP BY 2, 3
+    """,
+)
+def stream_multirollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: the same event relation
+    rolled up at two time grains; the day grain re-aggregates the hour
+    grain (partial-agg reuse) rather than rescanning the source."""
+    import os
+
+    from fs2_osm_spark.io import load
+
+    ev = load(spark, sf_dir, "events")
+    hour = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("_sum"))
+    hour_out = hour.select(
+        F.lit("hour").alias("grain"), "bucket", "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("_sum", 4).cast("double").alias("total"),
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n"), F.sum("_sum").alias("_sum"))
+        .select(
+            F.lit("day").alias("grain"), "bucket", "event_type", "n",
+            F.round("_sum", 4).cast("double").alias("total"),
+        )
+    )
+    return hour_out.unionByName(day)
