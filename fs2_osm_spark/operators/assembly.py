@@ -215,12 +215,25 @@ def build_multipolygons(
         inners = [r for r in _stitch_rings(inner_segs) if len(r) / 2 > 3]
         if not outers:
             return pd.DataFrame(columns=["polygon_id", "name", "tags", "outer", "inners"])
-        # largest outer ring carries the holes (R19's grouping, simplified to
-        # the dominant-outer case the reference's fixtures exercise)
+        # R19 grouping: each hole belongs to the outer ring containing its
+        # first vertex (largest containing outer wins ties from nesting);
+        # orphan holes fall back to the largest outer
+        from fs2_osm_spark.functions.pip import ring_contains
+
         outers.sort(key=len, reverse=True)
-        rows = [(rel_id, name, tags, outers[0].tolist(), [r.tolist() for r in inners])]
-        for extra in outers[1:]:
-            rows.append((rel_id, name, tags, extra.tolist(), []))
+        assigned: list[list[np.ndarray]] = [[] for _ in outers]
+        for hole in inners:
+            hx, hy = np.array([hole[0]]), np.array([hole[1]])
+            for k, outer in enumerate(outers):
+                if ring_contains(outer, hx, hy)[0]:
+                    assigned[k].append(hole)
+                    break
+            else:
+                assigned[0].append(hole)
+        rows = [
+            (rel_id, name, tags, outer.tolist(), [h.tolist() for h in holes])
+            for outer, holes in zip(outers, assigned)
+        ]
         return pd.DataFrame(rows, columns=["polygon_id", "name", "tags", "outer", "inners"])
 
     return members.groupBy("relation_id").applyInPandas(assemble, MP_SCHEMA)

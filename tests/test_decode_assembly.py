@@ -219,3 +219,61 @@ def test_osm_tables_assembly_end_to_end(spark):
         outer = np.asarray(r.outer).reshape(-1, 2)
         assert (outer[0] == outer[-1]).all()
         assert len(r.inners) == 1
+
+
+def test_multipolygon_two_outers_hole_assignment(spark):
+    """R19 grouping: each hole lands in its containing outer ring."""
+    import pandas as pd
+
+    nodes = pd.DataFrame(
+        [
+            # outer A: square (0,0)-(4,4); its hole at (1..2)
+            (500, 0.0, 0.0), (501, 4.0, 0.0), (502, 4.0, 4.0), (503, 0.0, 4.0),
+            (510, 1.0, 1.0), (511, 2.0, 1.0), (512, 2.0, 2.0), (513, 1.0, 2.0),
+            # outer B: square (10,10)-(14,14); its hole at (11..12)
+            (520, 10.0, 10.0), (521, 14.0, 10.0), (522, 14.0, 14.0), (523, 10.0, 14.0),
+            (530, 11.0, 11.0), (531, 12.0, 11.0), (532, 12.0, 12.0), (533, 11.0, 12.0),
+        ],
+        columns=["osm_id", "lon", "lat"],
+    )
+    nodes["name"] = None
+    nodes["tags"] = [{} for _ in range(len(nodes))]
+    ways = pd.DataFrame(
+        [
+            (600, None, [500, 501, 502, 503, 500], {}),
+            (601, None, [510, 511, 512, 513, 510], {}),
+            (602, None, [520, 521, 522, 523, 520], {}),
+            (603, None, [530, 531, 532, 533, 530], {}),
+        ],
+        columns=["osm_id", "name", "nodes", "tags"],
+    )
+    relations = pd.DataFrame(
+        [(700, "two outers", "multipolygon", {"type": "multipolygon"})],
+        columns=["osm_id", "name", "type", "tags"],
+    )
+    relations_ways = pd.DataFrame(
+        [
+            (700, 600, 0, "outer"),
+            (700, 601, 1, "inner"),
+            (700, 602, 2, "outer"),
+            (700, 603, 3, "inner"),
+        ],
+        columns=["relation_id", "way_id", "index", "role"],
+    )
+    lines = build_osm_lines(
+        spark.createDataFrame(ways, WAYS_SCHEMA),
+        spark.createDataFrame(nodes, NODES_SCHEMA),
+    )
+    mps = build_multipolygons(
+        spark.createDataFrame(relations, RELATIONS_SCHEMA),
+        spark.createDataFrame(relations_ways, RELATIONS_WAYS_SCHEMA),
+        lines,
+    ).collect()
+    assert len(mps) == 2
+    for r in mps:
+        outer = np.asarray(r.outer).reshape(-1, 2)
+        assert len(r.inners) == 1
+        hole = np.asarray(r.inners[0]).reshape(-1, 2)
+        # hole's first vertex inside this row's outer bbox
+        assert outer[:, 0].min() < hole[0, 0] < outer[:, 0].max()
+        assert outer[:, 1].min() < hole[0, 1] < outer[:, 1].max()
