@@ -48,8 +48,8 @@ def main() -> None:
         env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
         timeout=3600, check=True, capture_output=True,
     )
-    n_lo = int(os.environ.get("SCALE_N_LO", "4"))
-    n_hi = int(os.environ.get("SCALE_N_HI", "16"))
+    n_lo = int(os.environ.get("SCALE_N_LO", "2"))
+    n_hi = int(os.environ.get("SCALE_N_HI", "8"))
     lo = run_level(n_lo, sf_dir)
     hi = run_level(n_hi, sf_dir)
     eff = (hi["value"] / lo["value"]) / (n_hi / n_lo)
