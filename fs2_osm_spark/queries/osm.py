@@ -22,11 +22,26 @@ from fs2_osm_spark.synth.osm import golden_dense_blocks, osm_tables
 N_ZONES = 256
 
 
+def _driver_safe_tags(df: DataFrame) -> DataFrame:
+    """Serialize the MapType `tags` column to deterministic JSON (sorted keys).
+
+    The driver's canonicalizer sorts every output column with pandas and
+    crashes on dict values ("unhashable type: dict") — registered queries
+    must only emit sortable scalars. array_sort over map_entries fixes the
+    key order so the JSON string is deterministic across partitions.
+    """
+    tags_json = F.to_json(
+        F.map_from_entries(F.array_sort(F.map_entries("tags")))
+    ).alias("tags_json")
+    others = [c for c in df.columns if c != "tags"]
+    return df.select(*others, tags_json)
+
+
 @register("osm_dense_decode", oracle=None)
 def osm_dense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PBF dense-node decode kernel (S5-S10) over the golden encoded blocks."""
     blocks = spark.createDataFrame(golden_dense_blocks())
-    return decode_dense_blocks(blocks)
+    return _driver_safe_tags(decode_dense_blocks(blocks))
 
 
 @register("osm_lines_assembly", oracle=None)
@@ -100,7 +115,7 @@ def osm_frame_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     write_frames(path, blocks)
-    return read_nodes_from_frames(spark, path)
+    return _driver_safe_tags(read_nodes_from_frames(spark, path))
 
 
 @register("osm_export_summary", oracle=None)

@@ -87,3 +87,35 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = _plan(agg)
     # two HashAggregate nodes: partial (map-side combine) then final
     assert plan.count("HashAggregate") >= 2
+
+
+def test_registered_queries_have_driver_safe_schemas(spark):
+    """Every registered query must emit only sortable scalar columns — the
+    driver's canonicalizer pandas-sorts all columns and crashes on dict /
+    ndarray cells (round-1 osm_dense_decode failure). Map, struct, array,
+    and binary top-level columns are all banned from registered outputs."""
+    from pyspark.sql import types as T
+
+    from fs2_osm_spark.queries import QUERIES
+
+    banned = (T.MapType, T.StructType, T.ArrayType, T.BinaryType)
+    offenders = []
+    for name, q in QUERIES.items():
+        df = q.fn(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, banned):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
+
+
+def test_priority_names_exist_and_lead_the_map(spark):
+    """queries() iteration order starts with the PRIORITY list (the driver
+    samples a prefix), and every PRIORITY name is a real registered query."""
+    from fs2_osm_spark.queries import QUERIES, queries_map
+    from fs2_osm_spark.queries.registry import PRIORITY
+
+    assert len(PRIORITY) == len(set(PRIORITY))
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    assert not missing, missing
+    head = list(queries_map())[: len(PRIORITY)]
+    assert head == PRIORITY
