@@ -71,22 +71,35 @@ def build_osm_lines(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-# Polygon tag whitelist (PolygonFeature.scala:48-69): keys whose presence
-# makes a closed way a polygon, plus IN-list values for natural/area
-# semantics, with the NULL-tolerant area != 'no' guard.
+# Polygon tag whitelist — exact transcription of the reference's
+# taggedPolygons WHERE clause (PolygonFeature.scala:48-69): nine
+# key-presence checks, five per-key value IN-lists, the 22-value natural
+# list, aeroway=aerodrome, all under the NULL-tolerant area != 'no' guard.
 POLYGON_KEYS = [
-    "building",
-    "landuse",
-    "leisure",
     "amenity",
+    "area:highway",
+    "building",
     "boundary",
-    "water",
+    "building:part",
+    "historic",
+    "landuse",
+    "place",
+    "shop",
 ]
 POLYGON_NATURAL_VALUES = [
     "water", "wood", "scrub", "wetland", "grassland", "heath", "rock",
-    "bare_rock", "sand", "beach", "scree", "glacier", "shingle", "fell",
-    "reef", "mud", "shoal",
+    "bare_rock", "sand", "beach", "scree", "bay", "glacier", "shingle",
+    "fell", "reef", "stone", "mud", "landslide", "sinkhole", "crevasse",
+    "desert",
 ]
+POLYGON_VALUE_IN = {
+    "waterway": ["riverbank"],
+    "highway": ["rest_area", "services", "platform"],
+    "railway": ["platform"],
+    "leisure": ["picnic_table", "slipway", "firepit"],
+    "natural": POLYGON_NATURAL_VALUES,
+    "aeroway": ["aerodrome"],
+}
 
 
 def polygon_predicate() -> F.Column:
@@ -96,22 +109,31 @@ def polygon_predicate() -> F.Column:
     for k in POLYGON_KEYS:
         c = tags[k].isNotNull()
         keyed = c if keyed is None else (keyed | c)
-    keyed = keyed | tags["natural"].isin(POLYGON_NATURAL_VALUES)
+    for k, values in POLYGON_VALUE_IN.items():
+        keyed = keyed | tags[k].isin(values)
     return area_ok & keyed
 
 
-def simple_polygons(osm_lines: DataFrame) -> DataFrame:
-    """Closed, whitelisted ways -> polygons(polygon_id, tags, outer, inners[])."""
-    return (
-        osm_lines.filter(F.col("is_closed") & polygon_predicate())
-        .select(
-            F.col("way_id").alias("polygon_id"),
-            "name",
-            "tags",
-            F.col("geom").alias("outer"),
-            F.array().cast("array<array<double>>").alias("inners"),
-        )
+def closed_way_polygons(osm_lines: DataFrame) -> DataFrame:
+    """Every closed way as a polygon shape — the ST_IsClosed inner query each
+    polygon feature pass runs over ways with its OWN tag predicate
+    (WaterFeature.scala:36-53 shape). No whitelist here; feature predicates
+    and the polygons-table whitelist are applied by callers."""
+    return osm_lines.filter(F.col("is_closed")).select(
+        F.col("way_id").alias("polygon_id"),
+        F.lit(0).alias("ring_no"),
+        "name",
+        "tags",
+        F.col("geom").alias("outer"),
+        F.array().cast("array<array<double>>").alias("inners"),
     )
+
+
+def simple_polygons(osm_lines: DataFrame) -> DataFrame:
+    """The reference's `polygons` table: closed ways passing the exact
+    PolygonFeature whitelist (taggedPolygons; combineWays is commented out
+    in the reference, so the table is way-sourced only)."""
+    return closed_way_polygons(osm_lines).filter(polygon_predicate())
 
 
 # ---------------------------------------------------------------------------
@@ -120,12 +142,19 @@ def simple_polygons(osm_lines: DataFrame) -> DataFrame:
 MP_SCHEMA = T.StructType(
     [
         T.StructField("polygon_id", T.LongType(), False),
+        T.StructField("ring_no", T.IntegerType(), False),
         T.StructField("name", T.StringType(), True),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
         T.StructField("outer", T.ArrayType(T.DoubleType()), False),
         T.StructField("inners", T.ArrayType(T.ArrayType(T.DoubleType())), False),
     ]
 )
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """|shoelace| area of a packed [x0,y0,...] ring (planar degrees^2)."""
+    xs, ys = ring[0::2], ring[1::2]
+    return float(abs(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))) / 2.0)
 
 
 def _stitch_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
@@ -214,27 +243,33 @@ def build_multipolygons(
         outers = _stitch_rings(outer_segs)
         inners = [r for r in _stitch_rings(inner_segs) if len(r) / 2 > 3]
         if not outers:
-            return pd.DataFrame(columns=["polygon_id", "name", "tags", "outer", "inners"])
-        # R19 grouping: each hole belongs to the outer ring containing its
-        # first vertex (largest containing outer wins ties from nesting);
-        # orphan holes fall back to the largest outer
+            return pd.DataFrame(
+                columns=["polygon_id", "ring_no", "name", "tags", "outer", "inners"]
+            )
+        # R19 grouping: rank outer rings by geometric (shoelace) area, largest
+        # first; each hole belongs to the SMALLEST containing outer — for
+        # nested outers that is the innermost ring, which is the ring whose
+        # interior the hole actually punctures. Orphan holes fall back to the
+        # largest outer. ring_no keeps multi-outer relations distinguishable
+        # downstream (all rings share polygon_id = relation id).
         from fs2_osm_spark.functions.pip import ring_contains
 
-        outers.sort(key=len, reverse=True)
+        outers.sort(key=ring_area, reverse=True)
         assigned: list[list[np.ndarray]] = [[] for _ in outers]
         for hole in inners:
             hx, hy = np.array([hole[0]]), np.array([hole[1]])
-            for k, outer in enumerate(outers):
-                if ring_contains(outer, hx, hy)[0]:
-                    assigned[k].append(hole)
-                    break
-            else:
-                assigned[0].append(hole)
+            containing = [
+                k for k, outer in enumerate(outers) if ring_contains(outer, hx, hy)[0]
+            ]
+            k = containing[-1] if containing else 0  # area-desc order: last = smallest
+            assigned[k].append(hole)
         rows = [
-            (rel_id, name, tags, outer.tolist(), [h.tolist() for h in holes])
-            for outer, holes in zip(outers, assigned)
+            (rel_id, ring_no, name, tags, outer.tolist(), [h.tolist() for h in holes])
+            for ring_no, (outer, holes) in enumerate(zip(outers, assigned))
         ]
-        return pd.DataFrame(rows, columns=["polygon_id", "name", "tags", "outer", "inners"])
+        return pd.DataFrame(
+            rows, columns=["polygon_id", "ring_no", "name", "tags", "outer", "inners"]
+        )
 
     return members.groupBy("relation_id").applyInPandas(assemble, MP_SCHEMA)
 
@@ -245,9 +280,21 @@ def feature_polygons(
     relations: DataFrame,
     relations_ways: DataFrame,
 ) -> DataFrame:
-    """Union of simple-way polygons and relation multipolygons — the two-pass
+    """The engine's polygon corpus (flagship/bench input): the faithful
+    whitelisted `polygons` table plus relation multipolygons — the two-pass
     union-all shape of WaterFeature.scala:28-32 generalized."""
     lines = build_osm_lines(ways, nodes)
     simple = simple_polygons(lines)
     complex_ = build_multipolygons(relations, relations_ways, lines)
     return simple.unionByName(complex_)
+
+
+def all_polygons(lines: DataFrame, relations: DataFrame,
+                 relations_ways: DataFrame) -> DataFrame:
+    """Every closed way + every multipolygon, NO whitelist — the source the
+    feature-catalog passes filter with their own predicates (each reference
+    feature runs its own closed-way query over ways, e.g.
+    WaterFeature.scala:36-53, not a scan of the polygons table)."""
+    return closed_way_polygons(lines).unionByName(
+        build_multipolygons(relations, relations_ways, lines)
+    )

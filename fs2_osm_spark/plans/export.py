@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fs2_osm_spark.operators.assembly import (
-    build_multipolygons,
+    all_polygons,
     build_osm_lines,
     simple_polygons,
 )
@@ -73,14 +73,17 @@ def run_export(
 
     # ---- Phase B: feature passes (after the barrier) ----
     lines = build_osm_lines(ways_t, nodes_t).cache()
-    polys = simple_polygons(lines).unionByName(
-        build_multipolygons(rels_t, spark.read.parquet(
-            os.path.join(output_root, "relations_ways")
-        ), lines)
-    )
+    rw_t = spark.read.parquet(os.path.join(output_root, "relations_ways"))
+    # the `polygons` table is way-sourced only (PolygonFeature.scala:30-32:
+    # combineWays is commented out), with the exact taggedPolygons whitelist
     sink(lines, "osm_lines")
-    sink(polys, "polygons")
-    for name, df in run_all_features(lines, polys).items():
+    sink(simple_polygons(lines), "polygons")
+    # feature passes each filter the UN-whitelisted closed-way ∪ multipolygon
+    # union with their own predicate, like the reference's per-feature SQL
+    polys = all_polygons(lines, rels_t, rw_t)
+    for name, df in run_all_features(
+        lines, polys, ways=ways_t, relations=rels_t, relations_ways=rw_t
+    ).items():
         sink(df, name)
     lines.unpersist()
     return summary

@@ -70,13 +70,8 @@ FEATURES: list[Feature] = [
             "ref": lambda: _t("ref"),
         },
     ),
-    # AdministrativeBoundaryFeature.scala:74-82
-    Feature(
-        "administrative_boundaries",
-        "lines",
-        lambda: _t("boundary") == "administrative",
-        {"admin_level": lambda: _t("admin_level")},
-    ),
+    # administrative_boundaries is NOT a generic line feature — see
+    # admin_boundaries() below (closed ways + per-relation ST_Collect).
     # WaterFeature.scala:48,63 — kind defaulting via getOrElse
     Feature(
         "waters",
@@ -157,8 +152,94 @@ def run_feature(feature: Feature, lines: DataFrame, polygons: DataFrame) -> Data
     return src.filter(feature.predicate()).select(*cols)
 
 
-def run_all_features(lines: DataFrame, polygons: DataFrame) -> dict[str, DataFrame]:
+def highways_nodes(ways: DataFrame) -> DataFrame:
+    """(highway_id, node_id) membership side table emitted alongside
+    `highways` (HighwayFeature.scala:32-34 tableDefinitions). Exploded from
+    the raw ways of highway-tagged lines — order is carried by `index` so
+    the table also serves as the highway-local ways_nodes."""
+    return (
+        ways.filter(F.col("tags")["highway"].isNotNull())
+        .select(
+            F.col("osm_id").alias("highway_id"),
+            F.posexplode("nodes").alias("index", "node_id"),
+        )
+        .select("highway_id", "node_id", "index")
+    )
+
+
+def admin_boundaries(
+    lines: DataFrame, relations: DataFrame, relations_ways: DataFrame
+) -> DataFrame:
+    """administrative_boundaries: two passes, matching the reference.
+
+    1. Closed ways tagged boundary=administrative (the dataGenerator INSERT,
+       AdministrativeBoundaryFeature.scala:38-58 — note its ST_IsClosed).
+    2. Relations with type='boundary' AND tags boundary='administrative'
+       (boundaryRelations, :79-87): member-way geometries collected per
+       relation ordered by membership index — the ST_Collect MultiLineString
+       path (:89-106), expressed as the R21 sort_array(collect_list) shape.
+
+    Output geometry is `geoms array<array<double>>` (a MultiLineString of
+    packed lines); way rows carry a single-element array.
+    """
+    way_part = lines.filter(
+        (F.col("tags")["boundary"] == "administrative") & F.col("is_closed")
+    ).select(
+        F.col("way_id").alias("osm_id"),
+        "name",
+        F.col("tags")["admin_level"].alias("admin_level"),
+        F.col("tags"),
+        F.array("geom").alias("geoms"),
+    )
+    rels = relations.filter(
+        (F.col("type") == "boundary")
+        & (F.col("tags")["boundary"] == "administrative")
+    ).select(F.col("osm_id").alias("relation_id"), "name", "tags")
+    members = (
+        relations_ways.groupBy("relation_id", "way_id", "role")
+        .agg(F.min("index").alias("index"))
+        .join(lines.select("way_id", "geom"), "way_id")
+        .join(rels, "relation_id")
+    )
+    rel_part = (
+        members.groupBy("relation_id")
+        .agg(
+            F.first("name").alias("name"),
+            F.first("tags").alias("tags"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("index", "way_id", "geom"))),
+                lambda s: s.geom,
+            ).alias("geoms"),
+        )
+        .select(
+            F.col("relation_id").alias("osm_id"),
+            "name",
+            F.col("tags")["admin_level"].alias("admin_level"),
+            F.col("tags"),
+            "geoms",
+        )
+    )
+    return way_part.unionByName(rel_part)
+
+
+def run_all_features(
+    lines: DataFrame,
+    polygons: DataFrame,
+    ways: DataFrame | None = None,
+    relations: DataFrame | None = None,
+    relations_ways: DataFrame | None = None,
+) -> dict[str, DataFrame]:
     """Phase-B of the reference lifecycle (PostgresExporter.scala:57): every
     feature pass over the loaded tables. Callers persist `lines` first —
-    the D1 broadcastThrough equivalent is compute-once, consume-many."""
-    return {f.name: run_feature(f, lines, polygons) for f in FEATURES}
+    the D1 broadcastThrough equivalent is compute-once, consume-many.
+    `polygons` should be the UN-whitelisted closed-way ∪ multipolygon union
+    (operators.assembly.all_polygons): each feature applies its own predicate,
+    as the reference features do over raw ways."""
+    out = {f.name: run_feature(f, lines, polygons) for f in FEATURES}
+    if ways is not None:
+        out["highways_nodes"] = highways_nodes(ways)
+    if relations is not None and relations_ways is not None:
+        out["administrative_boundaries"] = admin_boundaries(
+            lines, relations, relations_ways
+        )
+    return out

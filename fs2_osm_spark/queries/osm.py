@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 from fs2_osm_spark.operators.assembly import (
     build_multipolygons,
     build_osm_lines,
-    feature_polygons,
     simple_polygons,
 )
 from fs2_osm_spark.plans.features import FEATURES, run_all_features
@@ -67,6 +66,7 @@ def osm_multipolygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = build_multipolygons(t["relations"], t["relations_ways"], lines)
     return mp.select(
         "polygon_id",
+        "ring_no",
         F.size("outer").alias("outer_coords"),
         F.size("inners").alias("n_holes"),
     )
@@ -74,11 +74,21 @@ def osm_multipolygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("osm_feature_catalog", oracle=None)
 def osm_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All catalog features (SURVEY.md §2.4) -> per-feature row counts."""
+    """All catalog features (SURVEY.md §2.4) -> per-feature row counts,
+    incl. the highways_nodes side table and the two-pass (closed ways +
+    relation ST_Collect) administrative_boundaries."""
+    from fs2_osm_spark.operators.assembly import all_polygons
+
     t = osm_tables(spark, N_ZONES)
     lines = build_osm_lines(t["ways"], t["nodes"]).cache()
-    polys = feature_polygons(t["ways"], t["nodes"], t["relations"], t["relations_ways"])
-    outs = run_all_features(lines, polys)
+    polys = all_polygons(lines, t["relations"], t["relations_ways"])
+    outs = run_all_features(
+        lines,
+        polys,
+        ways=t["ways"],
+        relations=t["relations"],
+        relations_ways=t["relations_ways"],
+    )
     per_feature = None
     for name, df in outs.items():
         c = df.agg(F.count(F.lit(1)).alias("n")).select(

@@ -147,7 +147,13 @@ def _gen_zone_tables(zones: np.ndarray) -> dict[str, pd.DataFrame]:
     node_rows, way_rows, rel_rows, relway_rows = [], [], [], []
     for z in zones.tolist():
         ids, xs, ys = zone_ring_nodes(z)
-        theme = THEMES[z % len(THEMES)]
+        theme = dict(THEMES[z % len(THEMES)])
+        if z % 10 == 9:
+            # admin-boundary zones: the ring stays in the polygons whitelist
+            # via its landuse tag; boundary=administrative additionally feeds
+            # the administrative_boundaries closed-way pass
+            theme["boundary"] = "administrative"
+            theme["admin_level"] = str(4 + z % 7)
         for i in range(8):
             node_rows.append((int(ids[i]), float(xs[i]), float(ys[i]), None, {}))
         ring = ids.tolist() + [int(ids[0])]  # closed: first == last
@@ -159,6 +165,20 @@ def _gen_zone_tables(zones: np.ndarray) -> dict[str, pd.DataFrame]:
         way_rows.append(
             (way_id + 1, None, ids[:3].tolist(), dict(road_theme))
         )
+
+        if z % 10 == 9:
+            # boundary relation (type='boundary', boundary=administrative):
+            # two member ways exercise the per-relation ST_Collect
+            # MultiLineString pass (AdministrativeBoundaryFeature.scala:79-106)
+            rel_id = REL_BASE + 500_000 + z
+            tags = {
+                "type": "boundary",
+                "boundary": "administrative",
+                "admin_level": str(4 + z % 7),
+            }
+            rel_rows.append((rel_id, f"admin {z}", "boundary", tags))
+            relway_rows.append((rel_id, way_id, 0, "outer"))
+            relway_rows.append((rel_id, way_id + 1, 1, "outer"))
 
         if z % 8 == 0:
             # multipolygon: outer split into two open ways (second reversed),

@@ -164,25 +164,64 @@ def test_multipolygon_inner_min_vertex_rule(golden_dfs):
     assert len(g.inners) == 3
 
 
-def test_simple_polygons_predicate(spark, golden_dfs):
+def test_simple_polygons_predicate_every_branch(spark, golden_dfs):
+    """Golden transcription check of the taggedPolygons whitelist
+    (PolygonFeature.scala:48-69): one closed way per predicate branch, plus
+    near-miss exclusions (values outside each IN-list, bare keys the
+    reference does NOT admit, the area='no' guard, open ways)."""
     import pandas as pd
 
+    from fs2_osm_spark.operators.assembly import (
+        POLYGON_KEYS,
+        POLYGON_VALUE_IN,
+    )
+
+    ring = [100, 101, 102, 103, 100]
+    rows, expect = [], set()
+    wid = 400
+    # every key-presence branch passes
+    for k in POLYGON_KEYS:
+        rows.append((wid, None, ring, {k: "x"}))
+        expect.add(wid)
+        wid += 1
+    # every value-IN branch passes, value by value
+    for k, values in POLYGON_VALUE_IN.items():
+        for v in values:
+            rows.append((wid, None, ring, {k: v}))
+            expect.add(wid)
+            wid += 1
+    # near-miss exclusions: same keys, values outside the IN-lists
+    for k, v in [
+        ("waterway", "river"),
+        ("highway", "residential"),
+        ("railway", "rail"),
+        ("leisure", "park"),
+        ("natural", "coastline"),
+        ("natural", "shoal"),  # was wrongly whitelisted before this fix
+        ("aeroway", "runway"),
+        ("water", "lake"),  # bare water key is NOT in the reference list
+    ]:
+        rows.append((wid, None, ring, {k: v}))
+        wid += 1
+    # area='no' suppresses; area present-but-not-'no' does not
+    rows.append((wid, None, ring, {"building": "yes", "area": "no"}))
+    wid += 1
+    rows.append((wid, None, ring, {"building": "yes", "area": "yes"}))
+    expect.add(wid)
+    wid += 1
+    # open way never a polygon
+    rows.append((wid, None, [100, 101, 102, 103], {"building": "yes"}))
+    wid += 1
+
     ways = spark.createDataFrame(
-        pd.DataFrame(
-            [
-                (400, None, [100, 101, 102, 103, 100], {"building": "yes"}),
-                (401, None, [100, 101, 102, 103, 100], {"building": "yes", "area": "no"}),
-                (402, None, [100, 101, 102, 103], {"building": "yes"}),  # open
-                (403, None, [100, 101, 102, 103, 100], {"highway": "residential"}),
-                (404, None, [100, 101, 102, 103, 100], {"natural": "water"}),
-            ],
-            columns=["osm_id", "name", "nodes", "tags"],
-        ),
+        pd.DataFrame(rows, columns=["osm_id", "name", "nodes", "tags"]),
         WAYS_SCHEMA,
     )
     lines = build_osm_lines(ways, golden_dfs["nodes"])
     polys = {r.polygon_id for r in simple_polygons(lines).collect()}
-    assert polys == {400, 404}
+    assert polys == expect
+    # 9 keys + (1 + 3 + 1 + 3 + 22 + 1) value branches + area!=no = 41 ways
+    assert len(expect) == 41
 
 
 def test_feature_polygons_union(golden_dfs):
@@ -277,3 +316,79 @@ def test_multipolygon_two_outers_hole_assignment(spark):
         # hole's first vertex inside this row's outer bbox
         assert outer[:, 0].min() < hole[0, 0] < outer[:, 0].max()
         assert outer[:, 1].min() < hole[0, 1] < outer[:, 1].max()
+
+
+def test_nested_outer_hole_goes_to_innermost(spark):
+    """A hole inside two nested outer rings belongs to the SMALLEST
+    (innermost) containing outer, and rings get distinct ring_no values."""
+    import pandas as pd
+
+    nodes = pd.DataFrame(
+        [
+            # big outer (0,0)-(10,10); nested outer (2,2)-(8,8); hole (4..5)
+            (800, 0.0, 0.0), (801, 10.0, 0.0), (802, 10.0, 10.0), (803, 0.0, 10.0),
+            (810, 2.0, 2.0), (811, 8.0, 2.0), (812, 8.0, 8.0), (813, 2.0, 8.0),
+            (820, 4.0, 4.0), (821, 5.0, 4.0), (822, 5.0, 5.0), (823, 4.0, 5.0),
+        ],
+        columns=["osm_id", "lon", "lat"],
+    )
+    nodes["name"] = None
+    nodes["tags"] = [{} for _ in range(len(nodes))]
+    ways = pd.DataFrame(
+        [
+            (900, None, [800, 801, 802, 803, 800], {}),
+            (901, None, [810, 811, 812, 813, 810], {}),
+            (902, None, [820, 821, 822, 823, 820], {}),
+        ],
+        columns=["osm_id", "name", "nodes", "tags"],
+    )
+    relations = pd.DataFrame(
+        [(950, "nested", "multipolygon", {"type": "multipolygon"})],
+        columns=["osm_id", "name", "type", "tags"],
+    )
+    relations_ways = pd.DataFrame(
+        [(950, 900, 0, "outer"), (950, 901, 1, "outer"), (950, 902, 2, "inner")],
+        columns=["relation_id", "way_id", "index", "role"],
+    )
+    lines = build_osm_lines(
+        spark.createDataFrame(ways, WAYS_SCHEMA),
+        spark.createDataFrame(nodes, NODES_SCHEMA),
+    )
+    mps = build_multipolygons(
+        spark.createDataFrame(relations, RELATIONS_SCHEMA),
+        spark.createDataFrame(relations_ways, RELATIONS_WAYS_SCHEMA),
+        lines,
+    ).collect()
+    assert len(mps) == 2
+    assert sorted(r.ring_no for r in mps) == [0, 1]
+    by_ring = {r.ring_no: r for r in mps}
+    # ring_no 0 = largest outer (area order); hole must sit on the nested one
+    assert np.asarray(by_ring[0].outer)[0::2].max() == 10.0
+    assert len(by_ring[0].inners) == 0
+    assert len(by_ring[1].inners) == 1
+
+
+def test_highways_nodes_and_admin_boundaries(spark):
+    """highways_nodes membership (HighwayFeature.scala:32-34) and the
+    two-pass administrative_boundaries (closed ways + relation ST_Collect,
+    AdministrativeBoundaryFeature.scala:38-106) over the synthetic world."""
+    from fs2_osm_spark.operators.assembly import all_polygons
+    from fs2_osm_spark.plans.features import admin_boundaries, highways_nodes
+
+    t = osm_tables(spark, n_zones=40, partitions=4)
+    lines = build_osm_lines(t["ways"], t["nodes"])
+
+    hn = highways_nodes(t["ways"]).collect()
+    # 40 zones cycle 5 LINE_THEMES: 2 highway themes -> 16 road ways x 3 nodes
+    assert len(hn) == 16 * 3
+    assert {r["index"] for r in hn} == {0, 1, 2}
+
+    ab = admin_boundaries(lines, t["relations"], t["relations_ways"]).collect()
+    # zones 9,19,29,39: each yields one closed-way row + one relation row
+    way_rows = [r for r in ab if len(r.geoms) == 1]
+    rel_rows = [r for r in ab if len(r.geoms) == 2]
+    assert len(way_rows) == 4 and len(rel_rows) == 4
+    for r in rel_rows:
+        assert r.admin_level is not None
+        # member order: ring way (9 pts) first, road way (3 pts) second
+        assert len(r.geoms[0]) == 18 and len(r.geoms[1]) == 6

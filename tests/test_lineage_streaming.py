@@ -116,11 +116,21 @@ def test_run_export_summary_and_outputs(spark, tmp_path):
     assert summary["nodes"] == 64 * 8 + 8 * 4  # ring nodes + hole nodes
     assert summary["ways"] == 64 * 2 + 8 * 3
     assert summary["ways_nodes"] > summary["ways"] * 3
-    assert summary["relations"] == 8
-    assert summary["polygons"] == 64 + 8  # zone rings + multipolygons
-    # every catalog feature materialized
-    for feat in ("highways", "waters", "buildings", "woods", "rails"):
+    # 8 multipolygon relations (z%8==0) + 6 boundary relations (z%10==9)
+    assert summary["relations"] == 8 + 6
+    # polygons = the faithful way-sourced whitelist table
+    # (PolygonFeature.scala:30-32 — combineWays commented out): zone rings
+    # minus the 7 leisure=park zones the reference predicate excludes
+    assert summary["polygons"] == 64 - 7
+    # every catalog feature materialized, incl. the side tables
+    for feat in (
+        "highways", "waters", "buildings", "woods", "rails",
+        "highways_nodes", "administrative_boundaries",
+    ):
         assert feat in summary
+    assert summary["highways_nodes"] > 0
+    # admin boundaries: 6 closed-way rows + 6 relation MultiLineStrings
+    assert summary["administrative_boundaries"] == 12
     # phase-B derived tables exist on disk and reload
     lines = spark.read.parquet(str(tmp_path / "export" / "osm_lines"))
     assert lines.count() == summary["osm_lines"]
