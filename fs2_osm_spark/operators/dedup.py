@@ -164,16 +164,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hamming_pairs(
-    sims: DataFrame, id_col: str, max_distance: int, prefix_bits: int = 16
+    sims: DataFrame, id_col: str, max_distance: int, n_bands: int | None = None
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the top
-    prefix_bits (identical high bits are necessary-ish for small distances;
-    standard multi-probe would rotate blocks — one block keeps the demo
-    simple while preserving the equi-join shape)."""
-    blocked = sims.select(
-        F.col(id_col),
-        "simhash",
-        F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("blk"),
+    """Near-dup pairs by SimHash hamming distance, multi-band blocked.
+
+    Pigeonhole guarantee: split the 64 bits into n_bands contiguous bands
+    (default max_distance+1); two hashes within hamming distance d <=
+    n_bands-1 must agree EXACTLY on at least one band, so the union of the
+    per-band equi-joins has full recall — unlike a single prefix block,
+    which silently drops any pair whose differing bits fall inside the
+    prefix. The join key stays (band_idx, band_bits): a co-partitioned
+    equi-join per band, no cross product; duplicates from pairs agreeing on
+    several bands are removed by the groupBy.
+    """
+    if n_bands is None:
+        n_bands = max_distance + 1
+    assert 1 <= n_bands <= 64
+    bounds = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
+
+    def band_key(lo: int, hi: int) -> F.Column:
+        # bits [lo, hi) of the unsigned 64-bit hash; mask with bitwiseAND
+        # (sign-safe — % would follow the sign of a negative bigint and
+        # split equal low bits by bit 63). Full-width band needs no mask
+        # (the literal 2^64-1 would overflow int64).
+        shifted = F.shiftrightunsigned(F.col("simhash"), lo)
+        if hi - lo >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                band_key(bounds[i], bounds[i + 1]).alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    blocked = (
+        sims.select(F.col(id_col), "simhash", F.explode(bands).alias("bk"))
+        .select(id_col, "simhash", "bk.band", "bk.key")
+        .localCheckpoint()  # pin: both self-join sides reuse one computation
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
@@ -181,13 +212,14 @@ def hamming_pairs(
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(dist <= max_distance)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            dist.alias("hamming"),
         )
+        .agg(F.first(dist).alias("hamming"))
     )

@@ -60,19 +60,30 @@ def brute_force_topk(
 
 # ----------------------------------------------------------------- IVF -----
 def ivf_centroids(corpus: DataFrame, n_centroids: int, id_col: str = "vec_id",
-                  vec_col: str = "v") -> list[tuple[int, np.ndarray]]:
-    """Deterministic coarse quantizer: strided sample by id rank. (K-means
-    would refine these; a fixed sample keeps the index reproducible, which
-    the resume/lineage story depends on.)"""
-    w = Window.orderBy(id_col)
-    n = corpus.count()
-    stride = max(1, n // n_centroids)
+                  vec_col: str = "v", sample_mod: int = 17) -> list[tuple[int, np.ndarray]]:
+    """Deterministic coarse quantizer: hash-strided sample. (K-means would
+    refine these; a fixed sample keeps the index reproducible, which the
+    resume/lineage story depends on.)
+
+    Scale shape: `xxhash64(id) % sample_mod == 0` thins the corpus ~1/mod in
+    a single narrow scan, then orderBy(id).limit(k) compiles to
+    TakeOrderedAndProject — a distributed partial top-k with no global sort
+    shuffle and no driver-side count. (The previous design ran
+    row_number() over an un-partitioned Window plus corpus.count(): a
+    single-task full-corpus funnel, the 100 TB scale-killer.) If the thinned
+    sample is too small (tiny corpus), fall back to top-k of the full table.
+    """
     sampled = (
-        corpus.select(id_col, vec_col, F.row_number().over(w).alias("rn"))
-        .filter((F.col("rn") - 1) % stride == 0)
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .orderBy(id_col)
         .limit(n_centroids)
         .collect()
     )
+    if len(sampled) < n_centroids:
+        sampled = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        )
     return [(i, np.asarray(r[vec_col], np.float64)) for i, r in enumerate(sampled)]
 
 

@@ -293,3 +293,35 @@ def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     sims = simhash64(corpus, "doc_id", "text")
     return hamming_pairs(sims, "doc_id", max_distance=12)
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM pairs
+        UNION
+        SELECT doc_b AS x, doc_a AS y FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT x AS id, x AS lbl FROM edges
+        UNION
+        SELECT e.x AS id, r.lbl FROM edges e JOIN reach r ON e.y = r.id
+    )
+    SELECT id, CAST(min(lbl) AS BIGINT) AS cluster
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (iterative min-label propagation) over the
+    md5-LSH candidate pairs — a HARD oracle for the CC operator itself: the
+    DuckDB twin computes the same components by transitive closure
+    (recursive CTE), so every label must match exactly. The xxhash64 fast
+    path (dedup_minhash_fast) reuses this operator on engine-native pairs."""
+    from fs2_osm_spark.operators.dedup import connected_components
+
+    pairs = _lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return connected_components(pairs)

@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "geo_pip_broadcast_join",
     "geo_pip_cell_join",
     "dedup_minhash_fast",
+    "dedup_cc_clusters",
     "dedup_simhash_fast",
     "sim_ivf_ann",
     "osm_simple_polygons",

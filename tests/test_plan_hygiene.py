@@ -119,3 +119,24 @@ def test_priority_names_exist_and_lead_the_map(spark):
     assert not missing, missing
     head = list(queries_map())[: len(PRIORITY)]
     assert head == PRIORITY
+
+
+def test_ivf_centroid_build_has_no_global_sort(spark):
+    """The IVF coarse-quantizer sample must not funnel the corpus through a
+    single task: no un-partitioned Window, and the top-k compiles to
+    TakeOrderedAndProject (distributed partial top-k), not a global Sort."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(300)]
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "v"]))
+    sampled = (
+        corpus.select("vec_id", "v")
+        .filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(17)) == 0)
+        .orderBy("vec_id")
+        .limit(16)
+    )
+    plan = _plan(sampled)
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -172,3 +172,57 @@ def test_cell_pip_join_matches_broadcast(spark):
     ra = sorted((r.point_id, r.polygon_id) for r in a.collect())
     rb = sorted((r.point_id, r.polygon_id) for r in b.collect())
     assert ra == rb and len(ra) > 100
+
+
+def test_hamming_pairs_full_recall_top_bits(spark):
+    """Pigeonhole recall: pairs whose differing bits all sit in the TOP 16
+    bits (incl. the sign bit) were silently missed by the old single
+    top-16-bit-prefix block; the multi-band union must find them."""
+    import pandas as pd
+
+    rows = [
+        (1, 0x0123456789ABCDEF),
+        (2, 0x0123456789ABCDEF ^ (1 << 63)),          # differs only in bit 63
+        (3, 0x0123456789ABCDEF ^ (0b111 << 60)),      # 3 diffs, all in top band
+        (4, -(1 << 63)),                              # sign-bit edge value
+        (5, -(1 << 63) ^ (1 << 62)),                  # distance 1 from 4
+        (6, 0x7FFFFFFFFFFFFFFF),                      # far from everything
+    ]
+    pdf = pd.DataFrame(
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in rows],
+        columns=["doc_id", "simhash"],
+    )
+    sims = spark.createDataFrame(pdf, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           hamming_pairs(sims, "doc_id", max_distance=3).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert got[(4, 5)] == 1
+    assert all(6 not in p for p in got)
+
+
+def test_hamming_pairs_match_brute_force(spark):
+    """Band recall equals the all-pairs ground truth on a random corpus."""
+    import itertools
+
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(1 << 62), 1 << 62, size=30, dtype=np.int64)
+    vals = []
+    for i, b in enumerate(base):
+        vals.append((2 * i, int(b)))
+        flip = 0
+        for bit in rng.choice(64, size=rng.integers(0, 5), replace=False):
+            flip |= 1 << int(bit)
+        vals.append((2 * i + 1, int(np.int64(b ^ np.int64(np.uint64(flip).astype(np.int64))))))
+    pdf = pd.DataFrame(vals, columns=["doc_id", "simhash"])
+    sims = spark.createDataFrame(pdf, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b) for r in
+           hamming_pairs(sims, "doc_id", max_distance=4).collect()}
+    want = {
+        (a, b)
+        for (a, x), (b, y) in itertools.combinations(vals, 2)
+        if bin((x ^ y) & ((1 << 64) - 1)).count("1") <= 4
+    }
+    assert got == want
