@@ -79,26 +79,18 @@ def stage_inputs(spark, sf_dir: str) -> tuple[str, str]:
 
 def run_flagship(spark, img_path: str, poly_path: str) -> tuple[int, float, int]:
     """Returns (n_images, seconds, n_output_rows) for the timed pipeline."""
-    import numpy as np
-
-    from fs2_osm_spark.functions.pip import PolygonSet
     from fs2_osm_spark.plans.flagship import flagship_from_tables
 
     images = spark.read.parquet(img_path)
     n_images = images.count()  # warm the scan metadata; not part of the join timing
 
-    rows = spark.read.parquet(poly_path).collect()
-    ps = PolygonSet(
-        ids=[r.polygon_id for r in rows],
-        outers=[np.asarray(r.outer) for r in rows],
-        inners=[[np.asarray(h) for h in (r.inners or [])] for r in rows],
-    )
-    # three timed runs, best-of: the first pays JVM JIT + Python worker
-    # spin-up, which a long-running cluster job amortizes away
+    polygons = spark.read.parquet(poly_path)
+    # three timed runs, best-of: the first pays JVM JIT warm-up, which a
+    # long-running cluster job amortizes away
     best = None
     for _ in range(3):
         t0 = time.time()
-        out_rows = flagship_from_tables(images, ps).count()
+        out_rows = flagship_from_tables(images, polygons).count()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
     return n_images, best, out_rows
@@ -128,12 +120,19 @@ def main() -> None:
 
     timings: dict[str, float] = {"flagship_spatial_join": round(flagship_sec, 3)}
     if not args.flagship_only:
-        # strategy comparison: same join through the cell-keyed equi-join +
-        # exact-refine path (the large-corpus plan shape)
-        from pyspark.sql import functions as F
+        # strategy comparison on the same join:
+        # - cell_join: shuffle-partitioned cell equi-join + JVM refine (the
+        #   large-corpus plan shape, no broadcast hints)
+        # - arrow_baseline: the broadcast mapInPandas numpy kernel (round-1
+        #   flagship path) — kept to track the JVM-vs-Arrow gap
+        import numpy as np
 
+        from fs2_osm_spark.functions.pip import PolygonSet
         from fs2_osm_spark.operators.multimodal import geotag
-        from fs2_osm_spark.operators.spatial_join import cell_pip_join
+        from fs2_osm_spark.operators.spatial_join import (
+            broadcast_pip_join,
+            cell_pip_join,
+        )
 
         images = spark.read.parquet(img_path)
         polys = spark.read.parquet(poly_path)
@@ -145,6 +144,19 @@ def main() -> None:
         ).count()
         timings["flagship_cell_join_strategy"] = round(time.time() - t0, 3)
         assert cell_rows == out_rows, (cell_rows, out_rows)
+
+        rows = polys.collect()
+        ps = PolygonSet(
+            ids=[r.polygon_id for r in rows],
+            outers=[np.asarray(r.outer) for r in rows],
+            inners=[[np.asarray(h) for h in (r.inners or [])] for r in rows],
+        )
+        t0 = time.time()
+        arrow_rows = broadcast_pip_join(
+            pts, ps, "lon", "lat", ["image_id"]
+        ).count()
+        timings["flagship_arrow_baseline"] = round(time.time() - t0, 3)
+        assert arrow_rows == out_rows, (arrow_rows, out_rows)
         for name in HEADLINE:
             q = QUERIES[name]
             t0 = time.time()

@@ -75,6 +75,50 @@ def hex_cell(lon: Column, lat: Column, res: int) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# Equal-area variant: lon is scaled by cos(lat) before indexing, so cell
+# ground area is ~uniform across latitudes (the planar grid above shrinks by
+# cos(lat): at lat 60 a cell covers half the area it does at the equator —
+# fine inside a narrow band, skewed for global histograms). cos is evaluated
+# as a fixed Taylor polynomial in BOTH engines (plain double +,*) so Spark
+# and DuckDB stay bit-identical — libm cos() could differ by 1 ulp and flip
+# a floor at a cell boundary. Polynomial error < 3e-5 for |lat| <= 66 deg;
+# it DEFINES the grid, so accuracy only affects how close to perfectly
+# equal-area the cells are, never correctness.
+# --------------------------------------------------------------------------
+DEG2RAD = 0.017453292519943295
+
+
+def _cospoly(x):
+    """cos approximation via 8th-order Taylor (works on Column/np/float)."""
+    x2 = x * x
+    return 1.0 + x2 * (
+        -0.5 + x2 * (1.0 / 24.0 + x2 * (-1.0 / 720.0 + x2 * (1.0 / 40320.0)))
+    )
+
+
+def _cospoly_sql(x: str) -> str:
+    x2 = f"(({x}) * ({x}))"
+    return (
+        f"(1.0 + {x2} * (-0.5 + {x2} * ({1.0 / 24.0!r} + {x2} * "
+        f"({-1.0 / 720.0!r} + {x2} * {1.0 / 40320.0!r}))))"
+    )
+
+
+def hex_cell_ea(lon: Column, lat: Column, res: int) -> Column:
+    """Equal-area hex cell id: index (lon * cos(lat), lat)."""
+    return hex_cell(lon * _cospoly(lat * DEG2RAD), lat, res)
+
+
+def hex_cell_ea_sql(lon: str, lat: str, res: int) -> str:
+    scaled = f"(({lon}) * {_cospoly_sql(f'({lat}) * {DEG2RAD!r}')})"
+    return hex_cell_sql(scaled, lat, res)
+
+
+def hex_cell_ea_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    return hex_cell_np(lon * _cospoly(lat * DEG2RAD), lat, res)
+
+
 def hex_cell_sql(lon: str, lat: str, res: int) -> str:
     """DuckDB SQL rendering, formula-identical to hex_cell()."""
     s = hex_size(res)

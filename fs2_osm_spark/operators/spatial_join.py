@@ -1,21 +1,27 @@
 """Point-in-polygon spatial joins — the engine's core operator.
 
-Two physical strategies, chosen by polygon-corpus size (SURVEY.md §4.2):
+Three physical strategies (SURVEY.md §4.2):
 
-1. broadcast_pip_join — small corpus: the PolygonSet (packed coord arrays +
-   bboxes) is broadcast to executors; each Arrow batch is tested with the
-   vectorized ray-cast kernel inside mapInPandas. One narrow stage, no
-   shuffle of the point side at all. This replaces the reference's
-   per-relation correlated PostGIS lookups
-   (/root/reference/postgres/src/main/scala/fs2/osm/postgres/ComplexPolygonBuilder.scala:52-56)
-   with a set-based, shuffle-free pass.
+1. broadcast_pip_join — the Arrow/Python baseline: a PolygonSet (packed
+   coord arrays + grid index) broadcast to executors, each batch tested
+   with the vectorized numpy ray-cast inside mapInPandas. One narrow stage,
+   no shuffle. Replaces the reference's per-relation correlated PostGIS
+   lookups (/root/reference/postgres/src/main/scala/fs2/osm/postgres/ComplexPolygonBuilder.scala:52-56).
 
-2. cell_pip_join — large corpus: polygons are pre-exploded to covering hex
-   cells, points keyed by the same cell; an equi-join on cell id produces
-   candidates, refined by the exact kernel. Both sides shuffle-partition on
-   the cell key, so the join is a plain sort-merge/shuffled-hash equi-join
-   that AQE can skew-split; hot cells can additionally be salted (see
-   operators/skew.py).
+2. cell_pip_join — the JVM scale path. Polygons are pre-classified into
+   covering hex cells split INTERIOR vs BOUNDARY (numpy kernel, runs once
+   over the polygon side): a cell whose center lies inside the polygon with
+   clearance > one circumradius is wholly inside, so points in it join with
+   NO exact test; only boundary-cell candidates are refined — and the
+   refine is a Catalyst higher-order-function ray cast over the packed ring
+   arrays (pip_inside_column), so the entire join is JVM-side: no Arrow
+   boundary, no Python workers, whole pipeline shuffle-partitioned on the
+   cell key (AQE skew-split applies; hot cells saltable via operators/skew).
+
+3. broadcast_cell_pip_join — strategy 2 with explicit broadcast hints on
+   the (small) cover + geometry tables: zero shuffle of the point side.
+   This is the flagship path: it scales with cores because every stage is
+   whole-stage-codegen'd JVM work.
 """
 
 from __future__ import annotations
@@ -24,11 +30,18 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fs2_osm_spark.functions.hex import hex_cell, hex_cell_np, hex_size
+from fs2_osm_spark.functions.hex import (
+    ID_Q_MUL,
+    ID_RES_MUL,
+    Q_OFFSET,
+    SQRT3,
+    hex_cell,
+    hex_size,
+)
 from fs2_osm_spark.functions.pip import PolygonSet, polygon_contains
 
 
@@ -66,47 +79,211 @@ def broadcast_pip_join(
     return points.select(*in_cols).mapInPandas(fn, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Cover kernel: polygon -> (cells, interior flag)
+# ---------------------------------------------------------------------------
+def _min_seg_dist(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Min Euclidean distance from N points to any segment of a packed ring
+    (closing edge implicit). Vectorized points x edges."""
+    xs, ys = ring[0::2], ring[1::2]
+    x1, y1 = xs, ys
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    dx, dy = x2 - x1, y2 - y1
+    l2 = dx * dx + dy * dy
+    l2 = np.where(l2 == 0.0, 1.0, l2)
+    t = (
+        (px[:, None] - x1[None, :]) * dx[None, :]
+        + (py[:, None] - y1[None, :]) * dy[None, :]
+    ) / l2[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    qx = x1[None, :] + t * dx[None, :]
+    qy = y1[None, :] + t * dy[None, :]
+    d2 = (px[:, None] - qx) ** 2 + (py[:, None] - qy) ** 2
+    return np.sqrt(d2.min(axis=1))
+
+
+def classify_cover_cells(
+    outer: np.ndarray, inners: list[np.ndarray], res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cells int64[], interior bool[]) for one polygon at hex resolution res.
+
+    Superset guarantee: every point of the polygon lies in a returned cell
+    (cell circumradius = s, so a point's cell center is within s of it —
+    the center is then inside the polygon or within s of its boundary).
+    Interior guarantee: a cell whose center is inside with boundary
+    clearance > s lies wholly inside, so its points need no exact test.
+    Unlike a bbox meshgrid cover this rasterizes the actual ring: candidate
+    volume tracks polygon area + perimeter, not bbox area.
+    """
+    s = hex_size(res)
+    xs, ys = outer[0::2], outer[1::2]
+    minx, maxx = xs.min() - s, xs.max() + s
+    miny, maxy = ys.min() - s, ys.max() + s
+    # axial index ranges whose centers can fall in the expanded bbox:
+    # center lat = 1.5*s*r, center lon = sqrt3*s*(q + r/2)
+    rmin = int(np.floor(miny / (1.5 * s))) - 1
+    rmax = int(np.ceil(maxy / (1.5 * s))) + 1
+    qmin = int(np.floor(minx / (SQRT3 * s) - rmax / 2.0)) - 1
+    qmax = int(np.ceil(maxx / (SQRT3 * s) - rmin / 2.0)) + 1
+    Q, R = np.meshgrid(
+        np.arange(qmin, qmax + 1, dtype=np.int64),
+        np.arange(rmin, rmax + 1, dtype=np.int64),
+    )
+    Q, R = Q.ravel(), R.ravel()
+    cx = s * (SQRT3 * Q + (SQRT3 / 2.0) * R)
+    cy = s * (1.5 * R)
+    m = (cx >= minx) & (cx <= maxx) & (cy >= miny) & (cy <= maxy)
+    Q, R, cx, cy = Q[m], R[m], cx[m], cy[m]
+    if len(cx) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    dist = _min_seg_dist(outer, cx, cy)
+    for hole in inners:
+        dist = np.minimum(dist, _min_seg_dist(hole, cx, cy))
+    inside = polygon_contains(outer, inners, cx, cy)
+    near = dist <= s * (1.0 + 1e-9)
+    cover = inside | near
+    interior = inside & ~near
+    cells = res * ID_RES_MUL + (Q + Q_OFFSET) * ID_Q_MUL + (R + Q_OFFSET)
+    return cells[cover], interior[cover]
+
+
+COVER_SCHEMA = T.StructType(
+    [
+        T.StructField("polygon_id", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("interior", T.BooleanType(), False),
+    ]
+)
+
+
 def polygons_to_cells(
     polygons: DataFrame,
     id_col: str,
     outer_col: str,
     res: int,
+    inners_col: str | None = None,
 ) -> DataFrame:
-    """Explode each polygon into the hex cells covering its bbox.
+    """Explode each polygon into covering hex cells with the interior flag.
 
-    Output: (polygon_id, cell). Coarse cover (bbox, not exact rasterize) —
-    false positives are removed by the exact refine step. Runs as a
-    pandas-vectorized flatMap; output size is sum of per-polygon cover
-    sizes, so choose res such that typical polygon span / hex size is small.
+    Output: (polygon_id, cell, interior). Runs as a pandas-vectorized
+    flatMap over the (small relative to points) polygon side; output size
+    ~ polygon area / cell area + perimeter / cell pitch.
     """
-    out_schema = T.StructType(
-        [
-            T.StructField("polygon_id", T.LongType(), False),
-            T.StructField("cell", T.LongType(), False),
-        ]
-    )
-    size = hex_size(res)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
-            cells: list[int] = []
-            for pid, packed in zip(pdf[id_col], pdf[outer_col]):
+            ids: list[np.ndarray] = []
+            cells: list[np.ndarray] = []
+            interiors: list[np.ndarray] = []
+            inner_series = (
+                pdf[inners_col]
+                if inners_col is not None and inners_col in pdf.columns
+                else [None] * len(pdf)
+            )
+            for pid, packed, raw_inners in zip(pdf[id_col], pdf[outer_col], inner_series):
                 ring = np.asarray(packed, np.float64)
-                xs, ys = ring[0::2], ring[1::2]
-                # sample the bbox on a grid finer than the hex pitch, map to
-                # cells, dedupe — guaranteed superset of intersecting cells
-                # when step < inradius (sqrt(3)/2 * size).
-                step = size * 0.8
-                gx = np.arange(xs.min() - size, xs.max() + size + step, step)
-                gy = np.arange(ys.min() - size, ys.max() + size + step, step)
-                mx, my = np.meshgrid(gx, gy)
-                cc = np.unique(hex_cell_np(mx.ravel(), my.ravel(), res))
-                ids.extend([int(pid)] * len(cc))
-                cells.extend(cc.tolist())
-            yield pd.DataFrame({"polygon_id": ids, "cell": cells})
+                # Arrow delivers arrays as numpy object arrays: no `or []`
+                holes = [
+                    np.asarray(h, np.float64)
+                    for h in (raw_inners if raw_inners is not None else [])
+                ]
+                cc, ii = classify_cover_cells(ring, holes, res)
+                ids.append(np.full(cc.shape, int(pid), np.int64))
+                cells.append(cc)
+                interiors.append(ii)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "polygon_id": np.concatenate(ids),
+                        "cell": np.concatenate(cells),
+                        "interior": np.concatenate(interiors),
+                    }
+                )
 
-    return polygons.select(id_col, outer_col).mapInPandas(fn, out_schema)
+    sel = [id_col, outer_col] + (
+        [inners_col] if inners_col is not None and inners_col in polygons.columns else []
+    )
+    return polygons.select(*sel).mapInPandas(fn, COVER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JVM ray cast: even-odd test as Catalyst higher-order functions
+# ---------------------------------------------------------------------------
+def ring_odd_column(ring: Column, px: Column, py: Column) -> Column:
+    """Even-odd crossing parity of (px,py) against a packed ring column —
+    bit-identical to functions/pip.py::ring_contains (same straddle
+    half-open convention and the same xint = x1 + t*(x2-x1) arithmetic), but
+    evaluated entirely JVM-side. The closing edge wraps via modular index,
+    so closed and unclosed rings both work; the duplicate closing vertex of
+    a closed ring contributes a degenerate (never-straddling) edge."""
+    n = F.size(ring) / F.lit(2)  # vertex count (double division is exact here)
+    n = n.cast("int")
+    edges = F.sequence(F.lit(0), n - 1)
+
+    def crossing(k: Column) -> Column:
+        # element_at is 1-based; vertex k is (ring[2k], ring[2k+1])
+        x1 = F.element_at(ring, (k * 2 + 1).cast("int"))
+        y1 = F.element_at(ring, (k * 2 + 2).cast("int"))
+        k2 = (k + 1) % n
+        x2 = F.element_at(ring, (k2 * 2 + 1).cast("int"))
+        y2 = F.element_at(ring, (k2 * 2 + 2).cast("int"))
+        straddle = (y1 > py) != (y2 > py)
+        t = (py - y1) / (y2 - y1)
+        xint = x1 + t * (x2 - x1)
+        return straddle & (px < xint)
+
+    hits = F.size(F.filter(F.transform(edges, crossing), lambda b: b))
+    return hits % 2 == 1
+
+
+def pip_inside_column(
+    outer: Column, inners: Column, px: Column, py: Column
+) -> Column:
+    """Point in (outer minus holes), JVM-side."""
+    in_outer = ring_odd_column(outer, px, py)
+    no_hole = F.forall(inners, lambda h: ~ring_odd_column(h, px, py))
+    return in_outer & F.coalesce(no_hole, F.lit(True))
+
+
+# ---------------------------------------------------------------------------
+# Cell-keyed joins
+# ---------------------------------------------------------------------------
+def _cell_key(lon_col: str, lat_col: str, res: int) -> Column:
+    """Join-key cell id with a -1 sentinel for unparseable coordinates.
+
+    The coalesce is a deliberate plan-shape guard, not null handling: an
+    inner join lets Catalyst infer `isnotnull(key)` and push that filter
+    below the projection, INLINING the whole key expression tree (regexp
+    geotag + hex math) a second time into the scan filter — measured 5-6x
+    on the flagship (38s -> 6.5s at sf0.1). A provably-non-null key leaves
+    nothing to infer. -1 never equals a real cover cell (ids are positive),
+    so sentinel rows drop in the join exactly like nulls would.
+    """
+    return F.coalesce(hex_cell(F.col(lon_col), F.col(lat_col), res), F.lit(-1))
+
+
+def _split_cell_join(
+    pts: DataFrame,
+    cover: DataFrame,
+    poly_geo: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    point_keep: list[str],
+) -> DataFrame:
+    """Shared tail: cell equi-join -> interior fast path ∪ ray-cast refine."""
+    cand = pts.join(cover, "cell")
+    hits = cand.filter(F.col("interior")).select(*point_keep, "polygon_id")
+    refined = (
+        cand.filter(~F.col("interior"))
+        .join(poly_geo, "polygon_id")
+        .filter(
+            pip_inside_column(
+                F.col("outer"), F.col("inners"), F.col(lon_col), F.col(lat_col)
+            )
+        )
+        .select(*point_keep, "polygon_id")
+    )
+    return hits.unionByName(refined)
 
 
 def cell_pip_join(
@@ -120,60 +297,91 @@ def cell_pip_join(
     outer_col: str = "outer",
     inners_col: str | None = "inners",
 ) -> DataFrame:
-    """Large-corpus PIP: cell-keyed equi-join + exact refine.
+    """Large-corpus PIP: cell-keyed equi-join, interior fast path, JVM refine.
 
     points:   ... lon, lat
     polygons: polygon_id, outer (array<double>), [inners array<array<double>>]
 
-    Plan shape: both sides get a `cell` key (pure Column math on the point
-    side), equi-join on cell (shuffle partitioned by cell — AQE skew-split
-    applies), then a vectorized exact ray-cast refine via mapInPandas.
-    Duplicate (point, polygon) candidates from multi-cell polygons are
-    impossible: a point belongs to exactly one cell.
+    Plan shape: the point side gets a `cell` key (pure Column math), the
+    polygon side a slim (cell, polygon_id, interior) cover (one narrow
+    pandas pass over the small side — ring geometry stays OUT of the cover,
+    so the cell join shuffles only 17-byte rows). The equi-join on cell
+    shuffle-partitions both sides (AQE skew-split applies; hot cells
+    saltable). Interior-cell candidates are exact hits with no further
+    work; only boundary-cell candidates join ring geometry by polygon_id
+    and run the Catalyst ray-cast — no Python, no Arrow boundary, anywhere
+    in the per-point path. Duplicate (point, polygon) candidates are
+    impossible: a point belongs to exactly one cell and cover cells are
+    unique per polygon.
     """
-    pts = points.withColumn("cell", hex_cell(F.col(lon_col), F.col(lat_col), res))
-    poly_cells = polygons_to_cells(polygons, polygon_id_col, outer_col, res)
+    pts = points.withColumn("cell", _cell_key(lon_col, lat_col, res))
+    cover = polygons_to_cells(polygons, polygon_id_col, outer_col, res, inners_col)
 
-    sel = [polygons[polygon_id_col].alias("polygon_id"), polygons[outer_col].alias("outer")]
+    sel = [
+        polygons[polygon_id_col].alias("polygon_id"),
+        polygons[outer_col].alias("outer"),
+    ]
     if inners_col is not None and inners_col in polygons.columns:
         sel.append(polygons[inners_col].alias("inners"))
     else:
         sel.append(F.array().cast("array<array<double>>").alias("inners"))
     poly_geo = polygons.select(*sel)
 
-    cand = (
-        pts.join(poly_cells, "cell")
-        .join(poly_geo, "polygon_id")
-        .select(*point_keep, lon_col, lat_col, "polygon_id", "outer", "inners")
+    return _split_cell_join(pts, cover, poly_geo, lon_col, lat_col, point_keep)
+
+
+def broadcast_cell_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    lon_col: str,
+    lat_col: str,
+    point_keep: list[str],
+    polygon_id_col: str = "polygon_id",
+    outer_col: str = "outer",
+    inners_col: str | None = "inners",
+) -> DataFrame:
+    """cell_pip_join for corpora that fit on the driver: the cover is
+    classified driver-side (numpy, no Spark stage) and broadcast, so the
+    whole query plan is pure JVM Column work — zero shuffle of the point
+    side, zero Python workers. This is the flagship path; throughput
+    scales with executor threads because nothing leaves whole-stage
+    codegen except the two O(corpus)-sized broadcast builds."""
+    spark = points.sparkSession
+    has_inners = inners_col is not None and inners_col in polygons.columns
+    cols = [polygon_id_col, outer_col] + ([inners_col] if has_inners else [])
+    rows = polygons.select(*cols).collect()
+
+    ids, cells, ints = [], [], []
+    ring_rows = []
+    for r in rows:
+        outer = np.asarray(r[outer_col], np.float64)
+        holes = [
+            np.asarray(h, np.float64)
+            for h in ((r[inners_col] if has_inners else None) or [])
+        ]
+        cc, ii = classify_cover_cells(outer, holes, res)
+        pid = int(r[polygon_id_col])
+        ids.append(np.full(cc.shape, pid, np.int64))
+        cells.append(cc)
+        ints.append(ii)
+        ring_rows.append((pid, outer.tolist(), [h.tolist() for h in holes]))
+
+    cover_pdf = pd.DataFrame(
+        {
+            "cell": np.concatenate(cells) if cells else np.zeros(0, np.int64),
+            "polygon_id": np.concatenate(ids) if ids else np.zeros(0, np.int64),
+            "interior": np.concatenate(ints) if ints else np.zeros(0, bool),
+        }
     )
-
-    out_schema = T.StructType(
-        [points.schema[c] for c in point_keep]
-        + [T.StructField("polygon_id", T.LongType(), False)]
+    cover = F.broadcast(
+        spark.createDataFrame(cover_pdf, "cell long, polygon_id long, interior boolean")
     )
-
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            px = pdf[lon_col].to_numpy(np.float64)
-            py = pdf[lat_col].to_numpy(np.float64)
-            keep = np.zeros(len(pdf), dtype=bool)
-            # group rows by polygon so each ring is tested vectorized over
-            # all its candidate points
-            for pid, grp in pdf.groupby("polygon_id", sort=False):
-                idx = grp.index.to_numpy()
-                loc = pdf.index.get_indexer(idx)
-                outer = np.asarray(grp["outer"].iloc[0], np.float64)
-                raw_inners = grp["inners"].iloc[0]
-                # arrives as a numpy object array from Arrow — no `or []`
-                # (truth value of an array is ambiguous)
-                inners = [
-                    np.asarray(h, np.float64)
-                    for h in (raw_inners if raw_inners is not None else [])
-                ]
-                keep[loc] = polygon_contains(outer, inners, px[loc], py[loc])
-            out = pdf.loc[keep, point_keep + ["polygon_id"]]
-            yield out
-
-    return cand.mapInPandas(refine, out_schema)
+    poly_geo = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(ring_rows, columns=["polygon_id", "outer", "inners"]),
+            "polygon_id long, outer array<double>, inners array<array<double>>",
+        )
+    )
+    pts = points.withColumn("cell", _cell_key(lon_col, lat_col, res))
+    return _split_cell_join(pts, cover, poly_geo, lon_col, lat_col, point_keep)

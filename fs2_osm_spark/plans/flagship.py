@@ -2,18 +2,26 @@
 
 "Which region and tile does each image belong to": synthesize the image
 table and the OSM world deterministically, geotag images from captions,
-index into hex cells, point-in-polygon join against OSM-derived polygons
-(broadcast ray-cast path — the corpus is small here; cell_pip_join covers
-the large-corpus case), and assign z/x/y Web-Mercator tiles.
+index into hex cells, point-in-polygon join against OSM-derived polygons,
+and assign z/x/y Web-Mercator tiles.
+
+Join strategy: broadcast_cell_pip_join — the polygon corpus is pre-exploded
+into hex cells classified interior/boundary (one pandas pass over the tiny
+polygon side); points join the broadcast cover on their cell key, interior
+candidates are exact hits, boundary candidates run the Catalyst ray-cast.
+The whole per-image path is JVM Column work: no Python workers, no Arrow
+boundary, no shuffle — which is what makes throughput scale with cores
+(the former mapInPandas kernel saturated the Arrow serde lanes well before
+32 threads). The Arrow baseline remains available as
+operators.spatial_join.broadcast_pip_join.
 
 Output: (image_id, polygon_id, cell, tile_x, tile_y) — byte-identical
 across parallelism levels (everything is id-derived and the join is
 deterministic).
 
 Scale hygiene: the binary `bytes` column never enters the join — geotag
-works on caption metadata only and the PIP join carries just
-(image_id, lon, lat), per SURVEY.md §7.3 ("keep bytes out of wide
-shuffles").
+works on caption metadata only, per SURVEY.md §7.3 ("keep bytes out of
+wide shuffles").
 """
 
 from __future__ import annotations
@@ -29,7 +37,7 @@ from fs2_osm_spark.functions.hex import hex_cell
 from fs2_osm_spark.functions.pip import PolygonSet
 from fs2_osm_spark.operators.assembly import feature_polygons
 from fs2_osm_spark.operators.multimodal import geotag
-from fs2_osm_spark.operators.spatial_join import broadcast_pip_join
+from fs2_osm_spark.operators.spatial_join import broadcast_cell_pip_join
 from fs2_osm_spark.synth.images import images_table
 from fs2_osm_spark.synth.osm import osm_tables
 
@@ -40,19 +48,24 @@ SCALES = {
 }
 HEX_RES = 8
 TILE_Z = 12
+JOIN_RES = 8  # cover-cell resolution of the PIP join (~0.0042 deg cells)
 
 
 def scale_for(sf_dir: str) -> tuple[int, int]:
     return SCALES.get(os.path.basename(sf_dir.rstrip("/")), (2_000, 128))
 
 
-def polygon_corpus(spark: SparkSession, n_zones: int) -> PolygonSet:
-    """Collect the synthetic OSM polygon layer into a broadcastable set."""
+def polygon_corpus_df(spark: SparkSession, n_zones: int) -> DataFrame:
+    """The synthetic OSM polygon layer as a (small) DataFrame."""
     t = osm_tables(spark, n_zones)
-    polys = feature_polygons(
+    return feature_polygons(
         t["ways"], t["nodes"], t["relations"], t["relations_ways"]
     ).select("polygon_id", "outer", "inners")
-    rows = polys.collect()
+
+
+def polygon_corpus(spark: SparkSession, n_zones: int) -> PolygonSet:
+    """Collected PolygonSet (rasterizer + Arrow-baseline consumers)."""
+    rows = polygon_corpus_df(spark, n_zones).collect()
     return PolygonSet(
         ids=[r.polygon_id for r in rows],
         outers=[np.asarray(r.outer) for r in rows],
@@ -60,22 +73,17 @@ def polygon_corpus(spark: SparkSession, n_zones: int) -> PolygonSet:
     )
 
 
-def flagship_from_tables(images: DataFrame, polygons: PolygonSet) -> DataFrame:
+def flagship_from_tables(images: DataFrame, polygons: DataFrame) -> DataFrame:
     """The timed pipeline: geotag -> PIP join -> hex cell + z/x/y tiles.
-    Input-agnostic (synthesized or parquet/Iceberg-scanned images)."""
-    # rows crossing the Arrow/Python boundary carry a compact int64 key
-    # instead of the image_id string — boundary serde is the least-scalable
-    # part of a single host, and numeric ids pack 3-5x tighter; the string
-    # id is reconstructed JVM-side afterwards
-    pts = geotag(images).select(
-        F.regexp_extract("image_id", r"img_(\d+)", 1).cast("bigint").alias("iid"),
-        "lon",
-        "lat",
+    Input-agnostic (synthesized or parquet/Iceberg-scanned images);
+    `polygons` is the (polygon_id, outer, inners) corpus DataFrame."""
+    pts = geotag(images).select("image_id", "lon", "lat")
+    joined = broadcast_cell_pip_join(
+        pts, polygons, JOIN_RES, "lon", "lat", ["image_id", "lon", "lat"]
     )
-    joined = broadcast_pip_join(pts, polygons, "lon", "lat", ["iid", "lon", "lat"])
     tx, ty = tile_xyz(F.col("lon"), F.col("lat"), TILE_Z)
     return joined.select(
-        F.format_string("img_%012d", F.col("iid")).alias("image_id"),
+        "image_id",
         "polygon_id",
         hex_cell(F.col("lon"), F.col("lat"), HEX_RES).alias("cell"),
         tx.alias("tile_x"),
@@ -93,4 +101,4 @@ def flagship_query(
     n_img = n_images or n_img
     n_z = n_zones or n_z
     images = images_table(spark, n_img)
-    return flagship_from_tables(images, polygon_corpus(spark, n_z))
+    return flagship_from_tables(images, polygon_corpus_df(spark, n_z))

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fs2_osm_spark.functions import geo
-from fs2_osm_spark.functions.hex import hex_cell, hex_cell_sql
+from fs2_osm_spark.functions.hex import (
+    hex_cell,
+    hex_cell_ea,
+    hex_cell_ea_sql,
+    hex_cell_sql,
+)
 from fs2_osm_spark.functions.pip import PolygonSet
 from fs2_osm_spark.io import load
 from fs2_osm_spark.operators.spatial_join import broadcast_pip_join
@@ -448,4 +453,27 @@ def geo_kring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("point_id"), cell.alias("cell0")
     ).select(
         "point_id", F.explode(hex_kring(F.col("cell0"), 2)).alias("neighbor_cell")
+    )
+
+
+@register(
+    "geo_hex_cell_equalarea",
+    oracle=f"""
+    SELECT c_custkey AS point_id,
+           {hex_cell_ea_sql(geo.synth_lon_sql("c_custkey"),
+                            geo.synth_lat_sql("c_custkey"), 8)} AS cell
+    FROM customer
+    """,
+)
+def geo_hex_cell_equalarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latitude-corrected hex indexing: lon scaled by a polynomial cos(lat)
+    before cell assignment, so per-cell ground area is ~uniform — the
+    production answer to the planar grid's cos(lat) area shrink (documented
+    in functions/hex.py). Same kernel in Spark Columns and DuckDB SQL."""
+    cust = load(spark, sf_dir, "customer")
+    lon = geo.synth_lon(F.col("c_custkey"))
+    lat = geo.synth_lat(F.col("c_custkey"))
+    return cust.select(
+        F.col("c_custkey").alias("point_id"),
+        hex_cell_ea(lon, lat, 8).alias("cell"),
     )

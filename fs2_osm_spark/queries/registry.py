@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "osm_simple_polygons",
     "osm_lines_assembly",
     "geo_hex_cell_assignment",
+    "geo_hex_cell_equalarea",
     "geo_knn_kring",
 ]
 

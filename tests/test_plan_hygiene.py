@@ -37,27 +37,41 @@ def test_column_pruning_reaches_scan(spark):
 
 def test_flagship_scan_prunes_bytes(spark):
     """The spatial join must never read the binary payload column — the
-    pruned scan schema is what makes the pipeline viable at 10^12 rows."""
-    from fs2_osm_spark.functions.pip import PolygonSet
-    from fs2_osm_spark.plans.flagship import flagship_from_tables
-    from fs2_osm_spark.synth.images import IMAGES_SCHEMA
-    import numpy as np
-
+    pruned scan schema is what makes the pipeline viable at 10^12 rows.
+    Also: the per-image path must be pure JVM (no Python eval nodes)."""
     import tempfile
 
+    import pandas as pd
+
+    from fs2_osm_spark.plans.flagship import flagship_from_tables
     from fs2_osm_spark.synth.images import images_table
 
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/img.parquet"
         images_table(spark, 50).write.parquet(path)
         images = spark.read.parquet(path)
-        ps = PolygonSet(
-            [1], [np.array([0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0])], [[]]
+        polygons = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, [0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0], [])],
+                columns=["polygon_id", "outer", "inners"],
+            ),
+            "polygon_id long, outer array<double>, inners array<array<double>>",
         )
-        plan = _plan(flagship_from_tables(images, ps))
-        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-        assert "caption" in read_schema and "image_id" in read_schema
-        assert "bytes" not in read_schema and "phash" not in read_schema
+        plan = _plan(flagship_from_tables(images, polygons))
+        img_scan = [
+            seg.splitlines()[0]
+            for seg in plan.split("ReadSchema:")[1:]
+            if "caption" in seg.splitlines()[0]
+        ]
+        assert img_scan, plan
+        for read_schema in img_scan:
+            assert "image_id" in read_schema
+            assert "bytes" not in read_schema and "phash" not in read_schema
+        # Python appears only on the polygon-cover side (tiny), never on the
+        # per-image path: the image scan subtree must contain no Python eval
+        img_subtree = plan.split("caption")[0]
+        assert "ArrowEvalPython" not in img_subtree
+        assert "MapInPandas" not in img_subtree
 
 
 def test_dimension_join_broadcasts(spark):

@@ -38,6 +38,23 @@ def run_level(cpus: int, sf_dir: str, runs: int = 3) -> dict:
 
 
 def main() -> None:
+    # --level N out.json: run one parallelism level and dump its median run
+    # (lets a driver split the two levels across separate invocations)
+    if len(sys.argv) >= 4 and sys.argv[1] == "--level":
+        cpus, out_path = int(sys.argv[2]), sys.argv[3]
+        sf_dir = sys.argv[4] if len(sys.argv) > 4 else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        with open(out_path, "w") as f:
+            json.dump(run_level(cpus, sf_dir), f)
+        print(f"wrote {out_path}")
+        return
+    # --aggregate lo.json hi.json n_lo n_hi: compute efficiency + write md
+    if len(sys.argv) >= 6 and sys.argv[1] == "--aggregate":
+        lo = json.load(open(sys.argv[2]))
+        hi = json.load(open(sys.argv[3]))
+        write_report(lo, hi, int(sys.argv[4]), int(sys.argv[5]))
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -48,10 +65,14 @@ def main() -> None:
         env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
         timeout=3600, check=True, capture_output=True,
     )
-    n_lo = int(os.environ.get("SCALE_N_LO", "2"))
-    n_hi = int(os.environ.get("SCALE_N_HI", "8"))
+    n_lo = int(os.environ.get("SCALE_N_LO", "8"))
+    n_hi = int(os.environ.get("SCALE_N_HI", "32"))
     lo = run_level(n_lo, sf_dir)
     hi = run_level(n_hi, sf_dir)
+    write_report(lo, hi, n_lo, n_hi)
+
+
+def write_report(lo: dict, hi: dict, n_lo: int, n_hi: int) -> None:
     eff = (hi["value"] / lo["value"]) / (n_hi / n_lo)
     report = {
         "sf": lo["sf"],
@@ -68,15 +89,14 @@ def main() -> None:
 
 ## Scaling efficiency (north rule: >= 0.8 between N and 4N)
 
-Identical flagship job — geotag -> broadcast ray-cast PIP join against the
-OSM-derived polygon corpus -> hex cell + z/x/y tile assignment — over the
-same staged image parquet ({lo["n_images"]:,} images, sf={lo["sf"]}), run in
-fresh JVMs at two parallelism levels (sandbox stand-in for N / 4N executor
-clusters per the task brief). N={n_lo} / 4N={n_hi}: both levels' JVM
-executor threads plus their paired Python (Arrow) workers fit within the
-machine's 32 cores (local[32] would oversubscribe 2x), and the host's
-memory/socket bandwidth — a per-node resource on a real cluster — is not
-saturated at the 4N level. Median of 3 runs per level (each best-of-3 in-process).
+Identical flagship job — geotag -> hex-cell cover PIP join (interior fast
+path + Catalyst ray-cast refine, all JVM: no Python workers, no Arrow
+boundary) against the OSM-derived polygon corpus -> hex cell + z/x/y tile
+assignment — over the same staged image parquet ({lo["n_images"]:,} images,
+sf={lo["sf"]}), run in fresh JVMs at two parallelism levels (the sandbox
+stand-in for N / 4N executor clusters per the task brief): local[{n_lo}] vs
+local[{n_hi}], the brief's prescribed levels. Median of 3 runs per level
+(each best-of-3 in-process).
 
 | parallelism | throughput (images/sec) | flagship wall (s) |
 |---|---|---|
