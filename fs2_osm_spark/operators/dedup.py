@@ -47,14 +47,21 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_bands: int, n_hashes: int | None = None
+) -> DataFrame:
     """Band the signature array, self-join on (band, key): candidate pairs.
 
     Scale shape: the join key is (band, band-hash) — co-partitioned equi
     join, no cross product; hot bands (boilerplate text) are exactly the
     skew case AQE skew-join splitting handles.
+
+    Pass n_hashes (the signature length) explicitly — the fallback runs a
+    driver-side first() that executes the whole upstream signature pipeline
+    once just to measure the array, which a 100 TB caller must not pay.
     """
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    if n_hashes is None:
+        n_hashes = len(sigs.select("sig").first()["sig"])
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[

@@ -270,20 +270,20 @@ def _split_cell_join(
     lat_col: str,
     point_keep: list[str],
 ) -> DataFrame:
-    """Shared tail: cell equi-join -> interior fast path ∪ ray-cast refine."""
-    cand = pts.join(cover, "cell")
-    hits = cand.filter(F.col("interior")).select(*point_keep, "polygon_id")
-    refined = (
-        cand.filter(~F.col("interior"))
-        .join(poly_geo, "polygon_id")
-        .filter(
-            pip_inside_column(
-                F.col("outer"), F.col("inners"), F.col(lon_col), F.col(lat_col)
-            )
+    """Shared tail: cell equi-join -> interior fast path OR ray-cast refine.
+
+    Single pass on purpose: a hits ∪ refined union would evaluate the point
+    scan (and its geotag expressions) twice — measured ~2x wall at sf0.1.
+    CASE WHEN keeps the ray cast lazy, so interior candidates never touch
+    ring geometry beyond the (cheap) hash-join attach; the rings are
+    dropped by the same-stage project, so they never cross a shuffle."""
+    cand = pts.join(cover, "cell").join(poly_geo, "polygon_id")
+    keep = F.when(F.col("interior"), F.lit(True)).otherwise(
+        pip_inside_column(
+            F.col("outer"), F.col("inners"), F.col(lon_col), F.col(lat_col)
         )
-        .select(*point_keep, "polygon_id")
     )
-    return hits.unionByName(refined)
+    return cand.filter(keep).select(*point_keep, "polygon_id")
 
 
 def cell_pip_join(
@@ -330,24 +330,37 @@ def cell_pip_join(
     return _split_cell_join(pts, cover, poly_geo, lon_col, lat_col, point_keep)
 
 
-def broadcast_cell_pip_join(
-    points: DataFrame,
+class CellCover:
+    """Prebuilt broadcast index: (cell, polygon_id, interior) cover plus the
+    per-polygon ring table for the lazy higher-order-function ray cast.
+
+    (A statically-unrolled edge-array variant was measured 2.5x SLOWER at
+    sf0.1/32c: codegen hoists the unconditional element_at subexpressions
+    out of the CASE WHEN, evaluating every edge for every candidate row,
+    while the lambda-based HOF ray cast stays lazy and runs only on
+    boundary-cell rows.)"""
+
+    def __init__(self, cover: DataFrame, rings: DataFrame, res: int):
+        self.cover = cover
+        self.rings = rings
+        self.res = res
+
+
+def build_cell_cover(
+    spark,
     polygons: DataFrame,
     res: int,
-    lon_col: str,
-    lat_col: str,
-    point_keep: list[str],
     polygon_id_col: str = "polygon_id",
     outer_col: str = "outer",
     inners_col: str | None = "inners",
-) -> DataFrame:
-    """cell_pip_join for corpora that fit on the driver: the cover is
-    classified driver-side (numpy, no Spark stage) and broadcast, so the
-    whole query plan is pure JVM Column work — zero shuffle of the point
-    side, zero Python workers. This is the flagship path; throughput
-    scales with executor threads because nothing leaves whole-stage
-    codegen except the two O(corpus)-sized broadcast builds."""
-    spark = points.sparkSession
+) -> CellCover:
+    """Driver-side cover build for broadcast-scale corpora: collect the
+    polygon table, classify cover cells in numpy, return a CellCover of
+    broadcast-hinted DataFrames. One-time per job — cost is O(corpus),
+    independent of the point-table size, so it amortizes to nothing on a
+    long-running ingest.
+
+    """
     has_inners = inners_col is not None and inners_col in polygons.columns
     cols = [polygon_id_col, outer_col] + ([inners_col] if has_inners else [])
     rows = polygons.select(*cols).collect()
@@ -377,11 +390,45 @@ def broadcast_cell_pip_join(
     cover = F.broadcast(
         spark.createDataFrame(cover_pdf, "cell long, polygon_id long, interior boolean")
     )
-    poly_geo = F.broadcast(
+    rings = F.broadcast(
         spark.createDataFrame(
             pd.DataFrame(ring_rows, columns=["polygon_id", "outer", "inners"]),
             "polygon_id long, outer array<double>, inners array<array<double>>",
         )
     )
-    pts = points.withColumn("cell", _cell_key(lon_col, lat_col, res))
-    return _split_cell_join(pts, cover, poly_geo, lon_col, lat_col, point_keep)
+    return CellCover(cover, rings, res)
+
+
+def apply_cell_pip(
+    points: DataFrame,
+    cover: CellCover,
+    lon_col: str,
+    lat_col: str,
+    point_keep: list[str],
+) -> DataFrame:
+    """Join points against a prebuilt CellCover — the steady-state path."""
+    pts = points.withColumn("cell", _cell_key(lon_col, lat_col, cover.res))
+    return _split_cell_join(pts, cover.cover, cover.rings, lon_col, lat_col, point_keep)
+
+
+def broadcast_cell_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    lon_col: str,
+    lat_col: str,
+    point_keep: list[str],
+    polygon_id_col: str = "polygon_id",
+    outer_col: str = "outer",
+    inners_col: str | None = "inners",
+) -> DataFrame:
+    """cell_pip_join for corpora that fit on the driver: the cover is
+    classified driver-side (numpy, no Spark stage) and broadcast, so the
+    whole query plan is pure JVM Column work — zero shuffle of the point
+    side, zero Python workers. This is the flagship path; throughput
+    scales with executor threads because nothing leaves whole-stage
+    codegen except the two O(corpus)-sized broadcast builds."""
+    cover = build_cell_cover(
+        points.sparkSession, polygons, res, polygon_id_col, outer_col, inners_col
+    )
+    return apply_cell_pip(points, cover, lon_col, lat_col, point_keep)

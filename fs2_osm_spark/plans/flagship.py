@@ -73,14 +73,33 @@ def polygon_corpus(spark: SparkSession, n_zones: int) -> PolygonSet:
     )
 
 
-def flagship_from_tables(images: DataFrame, polygons: DataFrame) -> DataFrame:
+def prepare_corpus(spark: SparkSession, polygons: DataFrame):
+    """One-time cover build (broadcastable (cover, poly_geo) pair). A
+    long-running ingest builds this once per corpus version; its cost is
+    O(polygons), independent of how many images flow through."""
+    from fs2_osm_spark.operators.spatial_join import build_cell_cover
+
+    return build_cell_cover(spark, polygons, JOIN_RES)
+
+
+def flagship_from_tables(images: DataFrame, polygons) -> DataFrame:
     """The timed pipeline: geotag -> PIP join -> hex cell + z/x/y tiles.
     Input-agnostic (synthesized or parquet/Iceberg-scanned images);
-    `polygons` is the (polygon_id, outer, inners) corpus DataFrame."""
+    `polygons` is the (polygon_id, outer, inners) corpus DataFrame, or the
+    prepare_corpus() result to reuse a prebuilt cover."""
+    from fs2_osm_spark.operators.spatial_join import apply_cell_pip
+
+    from fs2_osm_spark.operators.spatial_join import CellCover
+
     pts = geotag(images).select("image_id", "lon", "lat")
-    joined = broadcast_cell_pip_join(
-        pts, polygons, JOIN_RES, "lon", "lat", ["image_id", "lon", "lat"]
-    )
+    if isinstance(polygons, CellCover):
+        joined = apply_cell_pip(
+            pts, polygons, "lon", "lat", ["image_id", "lon", "lat"]
+        )
+    else:
+        joined = broadcast_cell_pip_join(
+            pts, polygons, JOIN_RES, "lon", "lat", ["image_id", "lon", "lat"]
+        )
     tx, ty = tile_xyz(F.col("lon"), F.col("lat"), TILE_Z)
     return joined.select(
         "image_id",

@@ -281,7 +281,7 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _corpus(spark, sf_dir)
     sigs = minhash_signatures(corpus, "doc_id", "text", n_hashes=32)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8, n_hashes=32)
     return connected_components(pairs)
 
 

@@ -1,26 +1,18 @@
-"""Length-prefixed compressed frame source — the PBF framing contract.
+"""OSM PBF frame source — the real wire format, protobuf-encoded.
 
-Reproduces the reference's wire-layer semantics
+Reproduces the reference's wire layer
 (/root/reference/core/src/main/scala/fs2/osm/core/PbfReader.scala:11-29:
-repeat: read 4-byte big-endian length -> header -> datasize bytes -> blob;
-core/src/main/scala/fs2/osm/core/package.scala:27-44: zlib inflate ->
-columnar block) as a Spark `binaryFile` scan + vectorized frame parser.
+repeat: read 4-byte big-endian length -> BlobHeader -> datasize bytes ->
+Blob; core/src/main/scala/fs2/osm/core/package.scala:27-44: zlib inflate ->
+PrimitiveBlock) as a Spark `binaryFile` scan + per-file frame parser.
 
-The container has no protobuf library, so the blob payload uses a
-documented fixed-layout binary codec (struct-packed little-endian arrays)
-carrying exactly the PrimitiveBlock fields the decode contract needs:
-delta-coded ids/lats/lons, 0-delimited keys_vals, string table,
-granularity/offsets. The framing (length prefix, zlib, raw-size check) and
-everything downstream (delta decode, scaling, tag dictionary) match the
-reference semantics; only the serialization of the block struct differs.
-
-File layout per frame:
-  [4B BE frame_len] [frame: zlib([8B BE raw_size] payload)]
-payload:
-  i32 n_nodes, i32 granularity, i64 lat_offset, i64 lon_offset,
-  i64[n] ids, i64[n] lats, i64[n] lons,
-  i32 n_kv, i32[n_kv] keys_vals,
-  i32 n_strings, { i32 len, utf8 bytes } * n_strings
+The container has no protobuf library, so the protobuf WIRE FORMAT itself
+is implemented in sources/proto_wire.py (varint/zigzag/length-delimited) —
+frames written here are real OSM PBF: [4B BE len][BlobHeader(type=
+"OSMData", datasize)][Blob(raw_size, zlib_data)] with a protobuf
+PrimitiveBlock/PrimitiveGroup/DenseNodes payload per
+core/src/main/protobuf/{fileformat,osmformat}.proto. Unknown fields are
+skipped by wire type, so blocks from other OSM tooling parse too.
 """
 
 from __future__ import annotations
@@ -29,13 +21,20 @@ import struct
 import zlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from fs2_osm_spark.sources.dense_decode import (
     DECODED_NODES_SCHEMA,
     decode_dense_block_np,
+)
+from fs2_osm_spark.sources.proto_wire import (
+    decode_blob,
+    decode_blob_header,
+    decode_primitive_block,
+    encode_blob,
+    encode_blob_header,
+    encode_primitive_block,
 )
 
 
@@ -49,64 +48,48 @@ def encode_block(
     lat_offset: int = 0,
     lon_offset: int = 0,
 ) -> bytes:
-    n = len(ids)
-    out = bytearray()
-    out += struct.pack("<iiqq", n, granularity, lat_offset, lon_offset)
-    out += np.asarray(ids, "<i8").tobytes()
-    out += np.asarray(lats, "<i8").tobytes()
-    out += np.asarray(lons, "<i8").tobytes()
-    out += struct.pack("<i", len(keys_vals))
-    out += np.asarray(keys_vals, "<i4").tobytes()
-    out += struct.pack("<i", len(string_table))
-    for s in string_table:
-        b = s.encode("utf-8")
-        out += struct.pack("<i", len(b)) + b
-    return bytes(out)
+    """Protobuf PrimitiveBlock bytes (ids/lats/lons delta-coded, as on the
+    wire)."""
+    return encode_primitive_block(
+        ids, lats, lons, keys_vals, string_table,
+        granularity, lat_offset, lon_offset,
+    )
 
 
 def decode_block(payload: bytes) -> dict:
-    n, gran, lat_off, lon_off = struct.unpack_from("<iiqq", payload, 0)
-    pos = 24
-    ids = np.frombuffer(payload, "<i8", n, pos); pos += 8 * n
-    lats = np.frombuffer(payload, "<i8", n, pos); pos += 8 * n
-    lons = np.frombuffer(payload, "<i8", n, pos); pos += 8 * n
-    (n_kv,) = struct.unpack_from("<i", payload, pos); pos += 4
-    keys_vals = np.frombuffer(payload, "<i4", n_kv, pos); pos += 4 * n_kv
-    (n_str,) = struct.unpack_from("<i", payload, pos); pos += 4
-    strings = []
-    for _ in range(n_str):
-        (ln,) = struct.unpack_from("<i", payload, pos); pos += 4
-        strings.append(payload[pos : pos + ln].decode("utf-8")); pos += ln
-    return {
-        "ids": ids, "lats": lats, "lons": lons, "keys_vals": keys_vals,
-        "string_table": strings, "granularity": gran,
-        "lat_offset": lat_off, "lon_offset": lon_off,
-    }
+    return decode_primitive_block(payload)
 
 
 def write_frames(path: str, blocks: list[bytes]) -> None:
-    """blocks: encoded payloads -> framed + zlib'd file."""
+    """blocks: PrimitiveBlock payloads -> real PBF file framing."""
     with open(path, "wb") as f:
         for payload in blocks:
-            raw = struct.pack(">q", len(payload)) + payload
-            frame = zlib.compress(raw, 6)
-            f.write(struct.pack(">i", len(frame)))
-            f.write(frame)
+            blob = encode_blob(zlib.compress(payload, 6), len(payload))
+            hdr = encode_blob_header("OSMData", len(blob))
+            f.write(struct.pack(">i", len(hdr)))
+            f.write(hdr)
+            f.write(blob)
 
 
 def iter_frames(data: bytes) -> Iterator[bytes]:
-    """The PbfReader repeat-pull: 4B BE length -> frame -> inflate ->
-    raw-size check -> payload."""
+    """The PbfReader repeat-pull: 4B BE length -> BlobHeader -> Blob ->
+    inflate -> raw-size check -> PrimitiveBlock payload. Non-OSMData blobs
+    (e.g. the OSMHeader preamble) are skipped, matching the reference."""
     pos = 0
     while pos < len(data):
-        (ln,) = struct.unpack_from(">i", data, pos)
+        (hdr_len,) = struct.unpack_from(">i", data, pos)
         pos += 4
-        raw = zlib.decompress(data[pos : pos + ln])
-        pos += ln
-        (raw_size,) = struct.unpack_from(">q", raw, 0)
-        payload = raw[8:]
-        if len(payload) != raw_size:
-            raise ValueError(f"frame raw size mismatch: {len(payload)} != {raw_size}")
+        type_, datasize = decode_blob_header(data[pos : pos + hdr_len])
+        pos += hdr_len
+        raw, raw_size, zdata = decode_blob(data[pos : pos + datasize])
+        pos += datasize
+        if type_ != "OSMData":
+            continue
+        payload = raw if raw is not None else zlib.decompress(zdata)
+        if raw_size >= 0 and len(payload) != raw_size:
+            raise ValueError(
+                f"frame raw size mismatch: {len(payload)} != {raw_size}"
+            )
         yield payload
 
 

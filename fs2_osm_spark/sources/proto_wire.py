@@ -1,0 +1,264 @@
+"""Minimal pure-python protobuf wire codec for the OSM PBF subset.
+
+The container has no protobuf library, so this module implements the wire
+format directly (varint / zigzag / length-delimited fields) for exactly the
+messages the engine reads and writes:
+
+- fileformat.proto (/root/reference/core/src/main/protobuf/fileformat.proto:29-52):
+  BlobHeader {type=1 string, datasize=3 int32},
+  Blob {raw=1 bytes, raw_size=2 int32, zlib_data=3 bytes}
+- osmformat.proto (/root/reference/core/src/main/protobuf/osmformat.proto:97-239):
+  PrimitiveBlock {stringtable=1, primitivegroup=2, granularity=17,
+                  lat_offset=19, lon_offset=20},
+  StringTable {s=1 repeated bytes},
+  PrimitiveGroup {dense=2},
+  DenseNodes {id=1 packed sint64, lat=8 packed sint64, lon=9 packed sint64,
+              keys_vals=10 packed int32}
+
+Unknown fields are skipped by wire type, so blocks written by other OSM
+tools (with DenseInfo, date_granularity, ways/relations groups, ...) parse
+without error — the standard protobuf forward-compatibility contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# wire types
+_VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
+
+
+# ------------------------------------------------------------- varints -----
+def write_varint(out: bytearray, v: int) -> None:
+    v &= (1 << 64) - 1  # negative int32/int64 values use 10-byte two's complement
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift >= 70:
+            raise ValueError("varint too long")
+
+
+def zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _to_signed32(v: int) -> int:
+    v &= (1 << 64) - 1
+    v &= (1 << 32) - 1
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+# -------------------------------------------------------------- fields -----
+def _tag(out: bytearray, field: int, wire: int) -> None:
+    write_varint(out, (field << 3) | wire)
+
+
+def write_len_field(out: bytearray, field: int, payload: bytes) -> None:
+    _tag(out, field, _LEN)
+    write_varint(out, len(payload))
+    out += payload
+
+
+def write_varint_field(out: bytearray, field: int, v: int) -> None:
+    _tag(out, field, _VARINT)
+    write_varint(out, v)
+
+
+def write_packed_sint64(out: bytearray, field: int, values) -> None:
+    body = bytearray()
+    for v in values:
+        write_varint(body, zigzag(int(v)))
+    write_len_field(out, field, bytes(body))
+
+
+def write_packed_int32(out: bytearray, field: int, values) -> None:
+    body = bytearray()
+    for v in values:
+        write_varint(body, int(v))
+    write_len_field(out, field, bytes(body))
+
+
+def iter_fields(data: bytes):
+    """Yield (field_no, wire_type, value, next_pos) over a message body.
+    value is int for varint/fixed, bytes for length-delimited."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        key, pos = read_varint(data, pos)
+        field, wire = key >> 3, key & 7
+        if wire == _VARINT:
+            v, pos = read_varint(data, pos)
+        elif wire == _LEN:
+            ln, pos = read_varint(data, pos)
+            v = data[pos : pos + ln]
+            pos += ln
+        elif wire == _I64:
+            v = int.from_bytes(data[pos : pos + 8], "little")
+            pos += 8
+        elif wire == _I32:
+            v = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, v
+
+
+def read_packed_varints(body: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(body):
+        v, pos = read_varint(body, pos)
+        out.append(v)
+    return out
+
+
+# ------------------------------------------------------ OSM PBF messages ---
+def encode_primitive_block(
+    ids,
+    lats,
+    lons,
+    keys_vals,
+    string_table: list[str],
+    granularity: int = 100,
+    lat_offset: int = 0,
+    lon_offset: int = 0,
+) -> bytes:
+    """PrimitiveBlock bytes; ids/lats/lons are the DELTA-coded arrays
+    (the proto stores deltas — same contract as the decode kernel)."""
+    st = bytearray()
+    for s in string_table:
+        write_len_field(st, 1, s.encode("utf-8"))
+
+    dense = bytearray()
+    write_packed_sint64(dense, 1, ids)
+    write_packed_sint64(dense, 8, lats)
+    write_packed_sint64(dense, 9, lons)
+    if len(keys_vals):
+        write_packed_int32(dense, 10, keys_vals)
+
+    group = bytearray()
+    write_len_field(group, 2, bytes(dense))
+
+    block = bytearray()
+    write_len_field(block, 1, bytes(st))
+    write_len_field(block, 2, bytes(group))
+    if granularity != 100:
+        write_varint_field(block, 17, granularity)
+    if lat_offset:
+        write_varint_field(block, 19, lat_offset)
+    if lon_offset:
+        write_varint_field(block, 20, lon_offset)
+    return bytes(block)
+
+
+def decode_primitive_block(data: bytes) -> dict:
+    """PrimitiveBlock bytes -> the columnar dict the decode kernel consumes
+    (delta-coded numpy arrays + string table + granularity/offsets)."""
+    strings: list[str] = []
+    ids: list[int] = []
+    lats: list[int] = []
+    lons: list[int] = []
+    keys_vals: list[int] = []
+    granularity, lat_offset, lon_offset = 100, 0, 0
+
+    for field, wire, v in iter_fields(data):
+        if field == 1 and wire == _LEN:  # stringtable
+            for f2, w2, s in iter_fields(v):
+                if f2 == 1 and w2 == _LEN:
+                    strings.append(s.decode("utf-8"))
+        elif field == 2 and wire == _LEN:  # primitivegroup
+            for f2, w2, g in iter_fields(v):
+                if f2 == 2 and w2 == _LEN:  # dense
+                    for f3, w3, d in iter_fields(g):
+                        if f3 == 1 and w3 == _LEN:
+                            ids.extend(unzigzag(x) for x in read_packed_varints(d))
+                        elif f3 == 8 and w3 == _LEN:
+                            lats.extend(unzigzag(x) for x in read_packed_varints(d))
+                        elif f3 == 9 and w3 == _LEN:
+                            lons.extend(unzigzag(x) for x in read_packed_varints(d))
+                        elif f3 == 10 and w3 == _LEN:
+                            keys_vals.extend(
+                                _to_signed32(x) for x in read_packed_varints(d)
+                            )
+                # other group kinds (nodes/ways/relations) skipped here; the
+                # relational layer ingests them via the synth/normalized path
+        elif field == 17 and wire == _VARINT:
+            granularity = _to_signed32(v)
+        elif field == 19 and wire == _VARINT:
+            lat_offset = _to_signed64(v)
+        elif field == 20 and wire == _VARINT:
+            lon_offset = _to_signed64(v)
+
+    return {
+        "ids": np.asarray(ids, np.int64),
+        "lats": np.asarray(lats, np.int64),
+        "lons": np.asarray(lons, np.int64),
+        "keys_vals": np.asarray(keys_vals, np.int32),
+        "string_table": strings,
+        "granularity": granularity,
+        "lat_offset": lat_offset,
+        "lon_offset": lon_offset,
+    }
+
+
+# --------------------------------------------------------- file framing ----
+def encode_blob_header(type_: str, datasize: int) -> bytes:
+    out = bytearray()
+    write_len_field(out, 1, type_.encode("utf-8"))
+    write_varint_field(out, 3, datasize)
+    return bytes(out)
+
+
+def decode_blob_header(data: bytes) -> tuple[str, int]:
+    type_, datasize = "", -1
+    for field, wire, v in iter_fields(data):
+        if field == 1 and wire == _LEN:
+            type_ = v.decode("utf-8")
+        elif field == 3 and wire == _VARINT:
+            datasize = _to_signed32(v)
+    return type_, datasize
+
+
+def encode_blob(zlib_data: bytes, raw_size: int) -> bytes:
+    out = bytearray()
+    write_varint_field(out, 2, raw_size)
+    write_len_field(out, 3, zlib_data)
+    return bytes(out)
+
+
+def decode_blob(data: bytes) -> tuple[bytes | None, int, bytes | None]:
+    """-> (raw, raw_size, zlib_data)."""
+    raw, raw_size, zdata = None, -1, None
+    for field, wire, v in iter_fields(data):
+        if field == 1 and wire == _LEN:
+            raw = v
+        elif field == 2 and wire == _VARINT:
+            raw_size = _to_signed32(v)
+        elif field == 3 and wire == _LEN:
+            zdata = v
+    return raw, raw_size, zdata

@@ -97,11 +97,29 @@ def _make_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
-def generate_batch(ids: np.ndarray) -> pd.DataFrame:
+def generate_batch(ids: np.ndarray, slim: bool = False) -> pd.DataFrame:
     lon, lat = coords_for_ids(ids)
     ws = (16 + (_mix(ids, 7) % np.uint64(3)).astype(np.int64) * 8).astype(np.int32)
     hs = (16 + (_mix(ids, 8) % np.uint64(2)).astype(np.int64) * 8).astype(np.int32)
     fmt_png = (_mix(ids, 9) % np.uint64(3)) == 0
+    if slim:
+        # same schema/metadata, 1-byte pixel payload: for scaling runs whose
+        # plans provably never read `bytes` (tests/test_plan_hygiene.py) —
+        # full-size payloads would only add I/O noise to the measurement
+        return pd.DataFrame(
+            {
+                "image_id": [f"img_{i:012d}" for i in ids.tolist()],
+                "bytes": [b"\x00"] * len(ids),
+                "w": ws,
+                "h": hs,
+                "fmt": np.where(fmt_png, "png", "jpeg"),
+                "caption": [
+                    f"img {i} taken at {la:.6f},{lo:.6f} near city"
+                    for i, la, lo in zip(ids.tolist(), lat.tolist(), lon.tolist())
+                ],
+                "phash": _mix(ids, 10).astype(np.int64),
+            }
+        )
     rows = []
     for k, i in enumerate(ids.tolist()):
         img = _make_pixels(i, int(ws[k]), int(hs[k]))
@@ -124,12 +142,14 @@ def generate_batch(ids: np.ndarray) -> pd.DataFrame:
     )
 
 
-def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def images_table(
+    spark: SparkSession, n: int, partitions: int | None = None, slim: bool = False
+) -> DataFrame:
     """Distributed deterministic generation of n images."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield generate_batch(pdf["id"].to_numpy(np.int64))
+            yield generate_batch(pdf["id"].to_numpy(np.int64), slim=slim)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)

@@ -120,9 +120,45 @@ def test_frame_corruption_detected(spark):
     import struct
     import zlib
 
+    from fs2_osm_spark.sources.proto_wire import encode_blob, encode_blob_header
+
     payload = encode_block([1], [0], [0], [0], [""])
-    raw = struct.pack(">q", len(payload) + 5) + payload  # wrong raw size
-    frame = zlib.compress(raw)
-    data = struct.pack(">i", len(frame)) + frame
+    blob = encode_blob(zlib.compress(payload), len(payload) + 5)  # wrong raw size
+    hdr = encode_blob_header("OSMData", len(blob))
+    data = struct.pack(">i", len(hdr)) + hdr + blob
     with pytest.raises(ValueError, match="raw size mismatch"):
         list(iter_frames(data))
+
+
+def test_pbf_wire_format_is_real_protobuf():
+    """The frame payloads are genuine protobuf wire format: hand-decode a
+    PrimitiveBlock with no codec involvement, and round-trip negative
+    deltas / custom granularity / int32 fields through zigzag varints.
+    Unknown fields (e.g. date_granularity=18) must be skipped."""
+    from fs2_osm_spark.sources.proto_wire import (
+        decode_primitive_block,
+        read_varint,
+        write_varint_field,
+    )
+
+    blk = encode_block(
+        [42, -1, 2], [530000000, -10000000, 2000000], [1, 2, 3],
+        [1, 2, 0], ["", "k", "v"], granularity=200,
+        lat_offset=500000000, lon_offset=-300000000,
+    )
+    # first field must be tag (1 << 3) | 2 = 0x0A: stringtable, len-delimited
+    key, _ = read_varint(blk, 0)
+    assert key == 0x0A
+    out = decode_primitive_block(blk)
+    assert out["ids"].tolist() == [42, -1, 2]
+    assert out["lats"].tolist() == [530000000, -10000000, 2000000]
+    assert out["keys_vals"].tolist() == [1, 2, 0]
+    assert out["string_table"] == ["", "k", "v"]
+    assert out["granularity"] == 200
+    assert out["lat_offset"] == 500000000
+    assert out["lon_offset"] == -300000000
+    # forward compatibility: append an unknown varint field, still decodes
+    extra = bytearray(blk)
+    write_varint_field(extra, 18, 1000)  # date_granularity
+    out2 = decode_primitive_block(bytes(extra))
+    assert out2["ids"].tolist() == [42, -1, 2]

@@ -44,7 +44,7 @@ def doc_corpus(spark):
 
 def test_minhash_lsh_finds_near_dups(doc_corpus):
     sigs = minhash_signatures(doc_corpus, "doc_id", "text", n_hashes=32)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8, n_hashes=32)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     # exact dups must always pair; near-dups (1 of 28 shingles changed x 3
     # positions) should pair for most docs

@@ -29,8 +29,8 @@ def run_level(cpus: int, sf_dir: str, runs: int = 3) -> dict:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only",
-             "--cpus", str(cpus)],
-            capture_output=True, text=True, env=env, timeout=1200, check=True,
+             "--scale-input", "--cpus", str(cpus)],
+            capture_output=True, text=True, env=env, timeout=1800, check=True,
         )
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
     results.sort(key=lambda r: r["value"])
@@ -61,7 +61,7 @@ def main() -> None:
     # stage inputs once at full parallelism so neither timed level pays it
     subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--stage-only",
-         "--cpus", "32"],
+         "--scale-input", "--cpus", "32"],
         env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
         timeout=3600, check=True, capture_output=True,
     )
