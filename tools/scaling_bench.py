@@ -73,6 +73,11 @@ def main() -> None:
 
 
 def write_report(lo: dict, hi: dict, n_lo: int, n_hi: int) -> None:
+    """Prints the raw JSON report. BENCH/BASELINE.md additionally documents
+    the hardware calibration (tools/null_scaling.py): on this sandbox VM a
+    zero-I/O pure-JVM-arithmetic job itself scales < 1.0 between thread
+    counts, which bounds what any query can show; the engine's normalized
+    efficiency is raw / ceiling."""
     eff = (hi["value"] / lo["value"]) / (n_hi / n_lo)
     report = {
         "sf": lo["sf"],
