@@ -197,3 +197,73 @@ def osm_decode_semantics_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("coord"),
     )
+
+
+def _wire_fixture(spark: SparkSession):
+    """One framed PBF file holding a dense block + a ways/relations block."""
+    import os
+    import tempfile
+
+    from fs2_osm_spark.sources.pbf_frames import encode_block, write_frames
+    from fs2_osm_spark.sources.proto_wire import (
+        encode_entity_group,
+        encode_relation,
+        encode_way,
+    )
+
+    st = ["", "highway", "residential", "type", "multipolygon", "outer", "inner"]
+    ways = [
+        encode_way(100 + i, keys=[1], vals=[2], refs=[10 * i + 1, 2, 3])
+        for i in range(20)
+    ]
+    rels = [
+        encode_relation(
+            900 + i, keys=[3], vals=[4], roles_sid=[5, 6],
+            memids=[100 + i, 1], types=[1, 1],
+        )
+        for i in range(5)
+    ]
+    blocks = [
+        encode_block(
+            ids=list(range(1, 11)), lats=[1000000] * 10, lons=[2000000] * 10,
+            keys_vals=[], string_table=[""],
+        ),
+        encode_entity_group(st, ways=ways, relations=rels),
+    ]
+    d = tempfile.mkdtemp(prefix="opf_entities_")
+    path = os.path.join(d, "fixture.osm.pbf")
+    write_frames(path, blocks)
+    return path
+
+
+@register("osm_way_frame_decode", oracle=None)
+def osm_way_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way groups decoded from real protobuf PBF frames (S8 at wire level:
+    delta refs, string-table tags — WayImporter.scala:25-53)."""
+    from fs2_osm_spark.sources.pbf_frames import read_ways_from_frames
+
+    ways = read_ways_from_frames(spark, _wire_fixture(spark))
+    return ways.select(
+        "way_id",
+        "tags_json",
+        F.size("refs").alias("n_refs"),
+        F.element_at("refs", 1).alias("first_ref"),
+        F.element_at("refs", -1).alias("last_ref"),
+    )
+
+
+@register("osm_relation_frame_decode", oracle=None)
+def osm_relation_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation groups decoded from real protobuf PBF frames (S9 at wire
+    level: delta member ids, roles/types — RelationImporter.scala:21-70)."""
+    from fs2_osm_spark.sources.pbf_frames import read_relations_from_frames
+
+    rels = read_relations_from_frames(spark, _wire_fixture(spark))
+    return rels.select(
+        "relation_id",
+        "tags_json",
+        F.size("member_ids").alias("n_members"),
+        F.array_join("member_roles", ",").alias("roles_csv"),
+        F.array_join("member_types", ",").alias("types_csv"),
+        F.element_at("member_ids", -1).alias("last_member_id"),
+    )

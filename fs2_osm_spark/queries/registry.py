@@ -54,6 +54,8 @@ PRIORITY: list[str] = [
     # (a) round-1 hard fail + same-schema sibling (MapType fix to prove)
     "osm_dense_decode",
     "osm_frame_source_decode",
+    "osm_way_frame_decode",
+    "osm_relation_frame_decode",
     # (b) oracled but never driver-sampled in round 1
     "stream_windowed_counts",
     "stream_dedupe",

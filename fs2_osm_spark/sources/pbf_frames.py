@@ -118,3 +118,80 @@ def read_nodes_from_frames(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.concat(outs, ignore_index=True)
 
     return files.select("content").mapInPandas(fn, DECODED_NODES_SCHEMA)
+
+
+WAYS_FRAME_SCHEMA = "way_id long, tags_json string, refs array<long>"
+RELS_FRAME_SCHEMA = (
+    "relation_id long, tags_json string, member_ids array<long>,"
+    " member_roles array<string>, member_types array<string>"
+)
+
+
+def read_ways_from_frames(spark: SparkSession, path: str) -> DataFrame:
+    """Way groups from PBF frames (WayImporter.scala:25-53 semantics): tags
+    from keys/vals string-table indices, refs delta-decoded."""
+    import json as _json
+
+    from fs2_osm_spark.sources.dense_decode import decode_delta_refs
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for payload in iter_frames(bytes(content)):
+                    b = decode_block(payload)
+                    st = b["string_table"]
+                    for w in b["ways"]:
+                        tags = {st[k]: st[v] for k, v in zip(w["keys"], w["vals"])}
+                        rows.append(
+                            (
+                                w["way_id"],
+                                _json.dumps(tags, sort_keys=True),
+                                decode_delta_refs(w["refs"]),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=["way_id", "tags_json", "refs"])
+
+    return files.select("content").mapInPandas(fn, WAYS_FRAME_SCHEMA)
+
+
+def read_relations_from_frames(spark: SparkSession, path: str) -> DataFrame:
+    """Relation groups from PBF frames (RelationImporter.scala:21-70):
+    member ids delta-decoded, roles via string table, types via the
+    MemberType enum."""
+    import json as _json
+
+    from fs2_osm_spark.sources.dense_decode import decode_delta_refs
+    from fs2_osm_spark.sources.proto_wire import MEMBER_TYPES
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for payload in iter_frames(bytes(content)):
+                    b = decode_block(payload)
+                    st = b["string_table"]
+                    for r in b["relations"]:
+                        tags = {st[k]: st[v] for k, v in zip(r["keys"], r["vals"])}
+                        rows.append(
+                            (
+                                r["rel_id"],
+                                _json.dumps(tags, sort_keys=True),
+                                decode_delta_refs(r["memids"]),
+                                [st[i] for i in r["roles_sid"]],
+                                [MEMBER_TYPES[t] for t in r["types"]],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "relation_id", "tags_json", "member_ids",
+                    "member_roles", "member_types",
+                ],
+            )
+
+    return files.select("content").mapInPandas(fn, RELS_FRAME_SCHEMA)

@@ -184,6 +184,8 @@ def decode_primitive_block(data: bytes) -> dict:
     lats: list[int] = []
     lons: list[int] = []
     keys_vals: list[int] = []
+    ways: list[dict] = []
+    relations: list[dict] = []
     granularity, lat_offset, lon_offset = 100, 0, 0
 
     for field, wire, v in iter_fields(data):
@@ -205,8 +207,10 @@ def decode_primitive_block(data: bytes) -> dict:
                             keys_vals.extend(
                                 _to_signed32(x) for x in read_packed_varints(d)
                             )
-                # other group kinds (nodes/ways/relations) skipped here; the
-                # relational layer ingests them via the synth/normalized path
+                elif f2 == 3 and w2 == _LEN:  # ways group
+                    ways.append(_decode_way(g))
+                elif f2 == 4 and w2 == _LEN:  # relations group
+                    relations.append(_decode_relation(g))
         elif field == 17 and wire == _VARINT:
             granularity = _to_signed32(v)
         elif field == 19 and wire == _VARINT:
@@ -223,6 +227,106 @@ def decode_primitive_block(data: bytes) -> dict:
         "granularity": granularity,
         "lat_offset": lat_offset,
         "lon_offset": lon_offset,
+        "ways": ways,
+        "relations": relations,
+    }
+
+
+# -------------------------------------------------- ways / relations -------
+MEMBER_TYPES = ("node", "way", "relation")  # osmformat.proto Relation.MemberType
+
+
+def encode_way(
+    way_id: int, keys: list[int], vals: list[int], refs: list[int]
+) -> bytes:
+    """Way message (osmformat.proto:230-239); refs are DELTA-coded sint64."""
+    out = bytearray()
+    write_varint_field(out, 1, way_id)
+    if keys:
+        write_packed_int32(out, 2, keys)
+    if vals:
+        write_packed_int32(out, 3, vals)
+    if refs:
+        write_packed_sint64(out, 8, refs)
+    return bytes(out)
+
+
+def encode_relation(
+    rel_id: int,
+    keys: list[int],
+    vals: list[int],
+    roles_sid: list[int],
+    memids: list[int],
+    types: list[int],
+) -> bytes:
+    """Relation message (osmformat.proto:241-258); memids DELTA-coded."""
+    out = bytearray()
+    write_varint_field(out, 1, rel_id)
+    if keys:
+        write_packed_int32(out, 2, keys)
+    if vals:
+        write_packed_int32(out, 3, vals)
+    if roles_sid:
+        write_packed_int32(out, 8, roles_sid)
+    if memids:
+        write_packed_sint64(out, 9, memids)
+    if types:
+        write_packed_int32(out, 10, types)
+    return bytes(out)
+
+
+def encode_entity_group(
+    string_table: list[str],
+    ways: list[bytes] = (),
+    relations: list[bytes] = (),
+) -> bytes:
+    """PrimitiveBlock carrying a ways (field 3) / relations (field 4) group."""
+    st = bytearray()
+    for s in string_table:
+        write_len_field(st, 1, s.encode("utf-8"))
+    group = bytearray()
+    for w in ways:
+        write_len_field(group, 3, w)
+    for r in relations:
+        write_len_field(group, 4, r)
+    block = bytearray()
+    write_len_field(block, 1, bytes(st))
+    write_len_field(block, 2, bytes(group))
+    return bytes(block)
+
+
+def _decode_way(data: bytes) -> dict:
+    way_id, keys, vals, refs = 0, [], [], []
+    for field, wire, v in iter_fields(data):
+        if field == 1 and wire == _VARINT:
+            way_id = _to_signed64(v)
+        elif field == 2 and wire == _LEN:
+            keys = read_packed_varints(v)
+        elif field == 3 and wire == _LEN:
+            vals = read_packed_varints(v)
+        elif field == 8 and wire == _LEN:
+            refs = [unzigzag(x) for x in read_packed_varints(v)]
+    return {"way_id": way_id, "keys": keys, "vals": vals, "refs": refs}
+
+
+def _decode_relation(data: bytes) -> dict:
+    rel_id, keys, vals, roles, memids, types = 0, [], [], [], [], []
+    for field, wire, v in iter_fields(data):
+        if field == 1 and wire == _VARINT:
+            rel_id = _to_signed64(v)
+        elif field == 2 and wire == _LEN:
+            keys = read_packed_varints(v)
+        elif field == 3 and wire == _LEN:
+            vals = read_packed_varints(v)
+        elif field == 8 and wire == _LEN:
+            roles = read_packed_varints(v)
+        elif field == 9 and wire == _LEN:
+            memids = [unzigzag(x) for x in read_packed_varints(v)]
+        elif field == 10 and wire == _LEN:
+            types = read_packed_varints(v)
+    return {
+        "rel_id": rel_id, "keys": keys, "vals": vals,
+        "roles_sid": roles, "memids": memids, "types": types,
     }
 
 

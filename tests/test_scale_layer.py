@@ -162,3 +162,27 @@ def test_pbf_wire_format_is_real_protobuf():
     write_varint_field(extra, 18, 1000)  # date_granularity
     out2 = decode_primitive_block(bytes(extra))
     assert out2["ids"].tolist() == [42, -1, 2]
+
+
+def test_way_relation_frame_decode(spark):
+    """Ways/relations round-trip the real protobuf wire format: delta refs,
+    string-table tags, member roles/types enum."""
+    from fs2_osm_spark.queries.osm import (
+        osm_relation_frame_decode,
+        osm_way_frame_decode,
+    )
+
+    ways = {r.way_id: r for r in osm_way_frame_decode(spark, "").collect()}
+    assert len(ways) == 20
+    assert ways[100].n_refs == 3
+    assert ways[100].first_ref == 1 and ways[100].last_ref == 6  # 1, +2, +3
+    assert ways[105].tags_json == '{"highway": "residential"}'
+
+    rels = {r.relation_id: r for r in osm_relation_frame_decode(spark, "").collect()}
+    assert len(rels) == 5
+    r = rels[902]
+    assert r.n_members == 2
+    assert r.roles_csv == "outer,inner"
+    assert r.types_csv == "way,way"
+    assert r.last_member_id == 103  # 102, +1 delta
+    assert r.tags_json == '{"type": "multipolygon"}'
