@@ -163,7 +163,7 @@ def main() -> None:
         pts = geotag(images).select("image_id", "lon", "lat")
         t0 = time.time()
         cell_rows = cell_pip_join(
-            pts, polys, res=7, lon_col="lon", lat_col="lat",
+            pts, polys, res=8, lon_col="lon", lat_col="lat",
             point_keep=["image_id"],
         ).count()
         timings["flagship_cell_join_strategy"] = round(time.time() - t0, 3)
