@@ -17,6 +17,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Truncate lineage before reuse/self-join/iteration.
+
+    Uses a RELIABLE checkpoint when the session has a checkpoint dir
+    (survives executor loss — what a 1000-executor job must use), else
+    localCheckpoint (fine on local[N]; pins executors on a real cluster).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) word n-grams. JVM-side: split/posexplode/lead."""
     words = df.select(
@@ -78,8 +91,8 @@ def lsh_candidate_pairs(
         id_col, "bk.band", "bk.key"
     )
     # pin before the self-join: otherwise BOTH join sides re-run the whole
-    # shingle+minhash pipeline (at cluster scale: persist to storage instead)
-    banded = banded.localCheckpoint()
+    # shingle+minhash pipeline
+    banded = _pin(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -108,13 +121,13 @@ def connected_components(
     # pin the pair list first — the symmetric union would otherwise compute
     # the upstream pair-generation pipeline twice; then pin the edge list so
     # iterations never reach upstream at all
-    pairs = pairs.localCheckpoint()
+    pairs = _pin(pairs)
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
         .distinct()
-        .localCheckpoint()
     )
+    edges = _pin(edges)
     labels = (
         edges.select(F.col("x").alias("id"))
         .distinct()
@@ -135,7 +148,7 @@ def connected_components(
                 ).alias("cluster"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # truncate the plan per round
+        new_labels = _pin(new_labels)  # truncate the plan per round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -211,8 +224,8 @@ def hamming_pairs(
     blocked = (
         sims.select(F.col(id_col), "simhash", F.explode(bands).alias("bk"))
         .select(id_col, "simhash", "bk.band", "bk.key")
-        .localCheckpoint()  # pin: both self-join sides reuse one computation
     )
+    blocked = _pin(blocked)  # both self-join sides reuse one computation
     a = blocked.alias("a")
     b = blocked.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -150,3 +150,73 @@ def ivf_search(
         "neighbor_id",
         F.round("cos", 6).alias("cos_sim"),
     ).filter(F.col("rank") <= k)
+
+
+# -------------------------------------------------------------- k-means ----
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[tuple[int, np.ndarray]]:
+    """Distributed Lloyd iterations over an embedding column.
+
+    Init = the deterministic hash-stride sample (ivf_centroids). Each round
+    is one narrow assign pass (vectorized numpy matmul per Arrow batch) and
+    one (centroid, dim) shuffle aggregate; only the k x d centroid matrix —
+    tiny — returns to the driver between rounds, so the plan scales with
+    executors while the loop stays O(n_iters) jobs. Reproducible up to
+    floating-sum reduce order (assignments are argmax over cosines, robust
+    to last-ulp drift except on exact ties).
+    """
+    centroids = ivf_centroids(corpus, k, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, centroids, vec_col)
+        stats = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        dim = max(r.dim for r in stats) + 1
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r.centroid_id, np.zeros(dim))[r.dim] = r.s
+            counts[r.centroid_id] = r.n
+        centroids = [
+            (
+                c,
+                sums[c] / counts[c] if c in sums else vec,  # empty list keeps seed
+            )
+            for c, vec in centroids
+        ]
+    return centroids
+
+
+def kmeans_assignments(
+    corpus: DataFrame,
+    centroids: list[tuple[int, np.ndarray]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, centroid_id, cos to own centroid) for a fitted model."""
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    spark = corpus.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"centroid_id": [c for c, _ in centroids],
+                 "cvec": [v.tolist() for _, v in centroids]}
+            ),
+            "centroid_id long, cvec array<double>",
+        )
+    )
+    return assigned.join(cdf, "centroid_id").select(
+        id_col,
+        "centroid_id",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cos_to_centroid"),
+    )

@@ -273,3 +273,18 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _cosine(F.col("v"), F.col("dv"))
     return d.select("vec_id", F.round(cos, 5).cast("double").alias("recon_cos"))
+
+
+@register("sim_kmeans_clusters", oracle=None)
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (rows-only —
+    iterative, no SQL twin; convergence + structure pinned by
+    tests/test_scale_operators.py). Returns one row per vector with its
+    cluster and similarity to the fitted centroid."""
+    from fs2_osm_spark.operators.similarity import kmeans_assignments, kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    model = kmeans_fit(emb, k=8, n_iters=3)
+    return kmeans_assignments(emb, model)

@@ -226,3 +226,30 @@ def test_hamming_pairs_match_brute_force(spark):
         if bin((x ^ y) & ((1 << 64) - 1)).count("1") <= 4
     }
     assert got == want
+
+
+def test_kmeans_converges_and_clusters_labels(vectors, spark):
+    """Lloyd iterations over the 8-blob vector fixture: SSE-proxy (mean cos
+    to own centroid) must improve over the raw sample init, k clusters all
+    non-empty, and same-blob vectors should mostly share a cluster."""
+    from fs2_osm_spark.operators.similarity import (
+        ivf_centroids,
+        kmeans_assignments,
+        kmeans_fit,
+    )
+
+    model0 = ivf_centroids(vectors, 8)
+    model = kmeans_fit(vectors, k=8, n_iters=4)
+    a0 = kmeans_assignments(vectors, model0).agg(
+        F.avg("cos_to_centroid")
+    ).collect()[0][0]
+    a1 = kmeans_assignments(vectors, model).agg(
+        F.avg("cos_to_centroid")
+    ).collect()[0][0]
+    assert a1 >= a0 - 1e-9
+    rows = kmeans_assignments(vectors, model).collect()
+    assert len({r.centroid_id for r in rows}) == 8
+    # blob purity: vectors i and i+8 come from the same base blob
+    by_id = {r.vec_id: r.centroid_id for r in rows}
+    same = sum(1 for i in range(0, 392) if by_id[i] == by_id[i + 8])
+    assert same / 392 > 0.9
