@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "part_hilbert_key",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
     "r11_derived_reuse",
     "r21_collect_members",
     "r22_dump_parts",

@@ -418,3 +418,53 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p95"),
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey AS cust_id,
+           n.n_name AS nation,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+               AS revenue,
+           CAST(round(c.c_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, cust_id
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: who returned the most revenue — fact x 2 dims, returned
+    lines only, top-20 with a deterministic tie-break."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "cust_id",
+            "nation",
+            "revenue",
+            F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("cust_id"))
+        .limit(20)
+    )
