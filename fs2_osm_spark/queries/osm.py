@@ -267,3 +267,38 @@ def osm_relation_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("member_types", ",").alias("types_csv"),
         F.element_at("member_ids", -1).alias("last_member_id"),
     )
+
+
+@register("osm_dense_info_decode", oracle=None)
+def osm_dense_info_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DenseInfo decode (S10): version/timestamp/changeset/uid/user carried
+    alongside dense nodes, delta chains + string-table usernames."""
+    import os
+    import tempfile
+
+    from fs2_osm_spark.sources.pbf_frames import (
+        encode_block,
+        read_node_info_from_frames,
+        write_frames,
+    )
+    from fs2_osm_spark.sources.proto_wire import encode_dense_info
+
+    info = encode_dense_info(
+        versions=[1, 3, 2],
+        timestamps=[1_500_000_000, 10, -5],     # deltas (seconds)
+        changesets=[900, 1, 1],
+        uids=[42, 0, -2],
+        user_sids=[1, 1, -1],                   # deltas into string table
+    )
+    block = encode_block(
+        ids=[100, 1, 1],
+        lats=[0, 0, 0],
+        lons=[0, 0, 0],
+        keys_vals=[],
+        string_table=["", "alice", "bob"],
+        dense_info=info,
+    )
+    d = tempfile.mkdtemp(prefix="opf_info_")
+    path = os.path.join(d, "fixture.osm.pbf")
+    write_frames(path, [block])
+    return read_node_info_from_frames(spark, path)

@@ -56,6 +56,7 @@ PRIORITY: list[str] = [
     "osm_frame_source_decode",
     "osm_way_frame_decode",
     "osm_relation_frame_decode",
+    "osm_dense_info_decode",
     # (b) oracled but never driver-sampled in round 1
     "stream_windowed_counts",
     "stream_dedupe",

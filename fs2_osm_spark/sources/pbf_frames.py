@@ -47,12 +47,13 @@ def encode_block(
     granularity: int = 100,
     lat_offset: int = 0,
     lon_offset: int = 0,
+    dense_info: bytes | None = None,
 ) -> bytes:
     """Protobuf PrimitiveBlock bytes (ids/lats/lons delta-coded, as on the
     wire)."""
     return encode_primitive_block(
         ids, lats, lons, keys_vals, string_table,
-        granularity, lat_offset, lon_offset,
+        granularity, lat_offset, lon_offset, dense_info,
     )
 
 
@@ -195,3 +196,53 @@ def read_relations_from_frames(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("content").mapInPandas(fn, RELS_FRAME_SCHEMA)
+
+
+NODE_INFO_SCHEMA = (
+    "osm_id long, version int, epoch_ms long, changeset long,"
+    " uid long, user string"
+)
+
+
+def read_node_info_from_frames(spark: SparkSession, path: str) -> DataFrame:
+    """DenseInfo metadata (S10: osmformat.proto:154-170) aligned with the
+    dense ids: versions plain; timestamp/changeset/uid/user_sid delta-coded
+    running sums; usernames resolved through the block string table;
+    timestamps scaled by date_granularity (default 1000 ms)."""
+    import numpy as np
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for payload in iter_frames(bytes(content)):
+                    b = decode_block(payload)
+                    di = b.get("dense_info") or {}
+                    if not di:
+                        continue
+                    ids = np.cumsum(np.asarray(b["ids"], np.int64))
+                    st = b["string_table"]
+                    ts = np.cumsum(np.asarray(di.get("timestamps", []), np.int64))
+                    cs = np.cumsum(np.asarray(di.get("changesets", []), np.int64))
+                    uid = np.cumsum(np.asarray(di.get("uids", []), np.int64))
+                    usid = np.cumsum(np.asarray(di.get("user_sids", []), np.int64))
+                    vers = di.get("versions", [])
+                    for k, osm_id in enumerate(ids.tolist()):
+                        rows.append(
+                            (
+                                osm_id,
+                                int(vers[k]) if k < len(vers) else -1,
+                                int(ts[k]) * 1000 if k < len(ts) else None,
+                                int(cs[k]) if k < len(cs) else None,
+                                int(uid[k]) if k < len(uid) else None,
+                                st[int(usid[k])] if k < len(usid) else None,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["osm_id", "version", "epoch_ms", "changeset", "uid", "user"],
+            )
+
+    return files.select("content").mapInPandas(fn, NODE_INFO_SCHEMA)

@@ -138,6 +138,26 @@ def read_packed_varints(body: bytes) -> list[int]:
 
 
 # ------------------------------------------------------ OSM PBF messages ---
+def encode_dense_info(
+    versions, timestamps, changesets, uids, user_sids
+) -> bytes:
+    """DenseInfo (osmformat.proto:154-170): versions plain packed int32;
+    timestamp/changeset/uid/user_sid packed sint DELTA-coded (deltas are
+    the caller's responsibility, matching the dense id/lat/lon contract)."""
+    out = bytearray()
+    if len(versions):
+        write_packed_int32(out, 1, versions)
+    if len(timestamps):
+        write_packed_sint64(out, 2, timestamps)
+    if len(changesets):
+        write_packed_sint64(out, 3, changesets)
+    if len(uids):
+        write_packed_sint64(out, 4, uids)  # sint32 shares the varint coding
+    if len(user_sids):
+        write_packed_sint64(out, 5, user_sids)
+    return bytes(out)
+
+
 def encode_primitive_block(
     ids,
     lats,
@@ -147,6 +167,7 @@ def encode_primitive_block(
     granularity: int = 100,
     lat_offset: int = 0,
     lon_offset: int = 0,
+    dense_info: bytes | None = None,
 ) -> bytes:
     """PrimitiveBlock bytes; ids/lats/lons are the DELTA-coded arrays
     (the proto stores deltas — same contract as the decode kernel)."""
@@ -156,6 +177,8 @@ def encode_primitive_block(
 
     dense = bytearray()
     write_packed_sint64(dense, 1, ids)
+    if dense_info is not None:
+        write_len_field(dense, 5, dense_info)
     write_packed_sint64(dense, 8, lats)
     write_packed_sint64(dense, 9, lons)
     if len(keys_vals):
@@ -186,6 +209,7 @@ def decode_primitive_block(data: bytes) -> dict:
     keys_vals: list[int] = []
     ways: list[dict] = []
     relations: list[dict] = []
+    info: dict[str, list[int]] = {}
     granularity, lat_offset, lon_offset = 100, 0, 0
 
     for field, wire, v in iter_fields(data):
@@ -199,6 +223,21 @@ def decode_primitive_block(data: bytes) -> dict:
                     for f3, w3, d in iter_fields(g):
                         if f3 == 1 and w3 == _LEN:
                             ids.extend(unzigzag(x) for x in read_packed_varints(d))
+                        elif f3 == 5 and w3 == _LEN:  # DenseInfo
+                            for f4, w4, di in iter_fields(d):
+                                if w4 != _LEN:
+                                    continue
+                                vals = read_packed_varints(di)
+                                if f4 == 1:
+                                    info["versions"] = [_to_signed32(x) for x in vals]
+                                elif f4 == 2:
+                                    info["timestamps"] = [unzigzag(x) for x in vals]
+                                elif f4 == 3:
+                                    info["changesets"] = [unzigzag(x) for x in vals]
+                                elif f4 == 4:
+                                    info["uids"] = [unzigzag(x) for x in vals]
+                                elif f4 == 5:
+                                    info["user_sids"] = [unzigzag(x) for x in vals]
                         elif f3 == 8 and w3 == _LEN:
                             lats.extend(unzigzag(x) for x in read_packed_varints(d))
                         elif f3 == 9 and w3 == _LEN:
@@ -229,6 +268,7 @@ def decode_primitive_block(data: bytes) -> dict:
         "lon_offset": lon_offset,
         "ways": ways,
         "relations": relations,
+        "dense_info": info,
     }
 
 

@@ -186,3 +186,18 @@ def test_way_relation_frame_decode(spark):
     assert r.types_csv == "way,way"
     assert r.last_member_id == 103  # 102, +1 delta
     assert r.tags_json == '{"type": "multipolygon"}'
+
+
+def test_dense_info_decode(spark):
+    """S10: DenseInfo delta chains + string-table usernames round-trip."""
+    from fs2_osm_spark.queries.osm import osm_dense_info_decode
+
+    rows = {r.osm_id: r for r in osm_dense_info_decode(spark, "").collect()}
+    assert set(rows) == {100, 101, 102}
+    assert rows[100].version == 1 and rows[102].version == 2
+    assert rows[100].epoch_ms == 1_500_000_000_000
+    assert rows[101].epoch_ms == 1_500_000_010_000
+    assert rows[102].epoch_ms == 1_500_000_005_000
+    assert rows[102].changeset == 902
+    assert rows[101].uid == 42 and rows[102].uid == 40
+    assert [rows[i].user for i in (100, 101, 102)] == ["alice", "bob", "alice"]
