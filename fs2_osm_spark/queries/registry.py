@@ -104,9 +104,7 @@ PRIORITY: list[str] = [
     "sim_ivf_ann",
     "osm_simple_polygons",
     "osm_lines_assembly",
-    "geo_hex_cell_assignment",
     "geo_hex_cell_equalarea",
-    "geo_knn_kring",
 ]
 
 

@@ -154,3 +154,30 @@ def test_ivf_centroid_build_has_no_global_sort(spark):
     plan = _plan(sampled)
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cell_join_python_only_on_polygon_side(spark):
+    """The shuffle cell-join's per-point path must be pure JVM: Python may
+    appear exactly once — the cover classification over the (small) polygon
+    side — and never as row-at-a-time eval."""
+    import pandas as pd
+
+    from fs2_osm_spark.operators.spatial_join import cell_pip_join
+
+    pts = spark.range(0, 100).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % 10 / 10.0).alias("lon"),
+        (F.col("id") % 7 / 7.0).alias("lat"),
+    )
+    polygons = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, [0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0], [])],
+            columns=["polygon_id", "outer", "inners"],
+        ),
+        "polygon_id long, outer array<double>, inners array<array<double>>",
+    )
+    plan = _plan(
+        cell_pip_join(pts, polygons, 6, "lon", "lat", ["point_id"])
+    )
+    assert plan.count("MapInPandas") == 1  # cover build only
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
