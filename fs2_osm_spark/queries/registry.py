@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "stream_dedupe",
     "stream_sessionize",
     "stream_multirollup",
+    "stream_static_join",
     "skew_salted_agg",
     "skew_salted_join",
     "part_hilbert_key",

@@ -153,3 +153,22 @@ def stream_multirollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hour_out.unionByName(day)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS win_start,
+           n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(e.value), 4) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join + windowed agg, batch-parity oracled."""
+    from fs2_osm_spark.streaming.events import stream_static_enriched_counts
+
+    return stream_static_enriched_counts(spark, sf_dir)

@@ -186,3 +186,32 @@ def sessionize_users(spark: SparkSession, sf_dir: str, gap_hours: int = 6) -> Da
     )
     out = run_to_memory(sessions, "sessionize_users", "append")
     return out
+
+
+def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a static dimension
+    (nation, keyed by user_id % 25) before a watermarked windowed aggregate.
+    The static side is broadcast per micro-batch — the standard pattern for
+    dimension lookups in a streaming ingest; no stream-stream state needed."""
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").cast("bigint").alias("nk"), "n_name"
+    )
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "nk", F.pmod(F.col("user_id"), F.lit(25)).cast("bigint")
+    )
+    enriched = stream.join(F.broadcast(nation), "nk")
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, "stream_static_enriched", "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("n_name").alias("nation"),
+        "n",
+        "total_value",
+    )
