@@ -23,7 +23,7 @@ from fs2_osm_spark.streaming.events import (
 @register(
     "stream_windowed_counts",
     oracle="""
-    SELECT date_trunc('hour', ts) AS win_start,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(round(sum(value), 4) AS DOUBLE) AS total_value
@@ -31,8 +31,14 @@ from fs2_osm_spark.streaming.events import (
     """,
 )
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1h window aggregate executed as a real streaming query."""
-    return windowed_event_counts(spark, sf_dir)
+    """Tumbling 1h window aggregate executed as a real streaming query.
+    (Timestamps serialize to ISO strings on both sides: registered outputs
+    carry only dtype-stable scalars through the driver's canonicalizer.)"""
+    out = windowed_event_counts(spark, sf_dir)
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n", "total_value",
+    )
 
 
 @register(
@@ -97,7 +103,10 @@ def lineage_batched_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, sess_id
     )
-    SELECT g.user_id, g.session_start, g.session_end, g.n_events
+    SELECT g.user_id,
+           strftime(g.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(g.session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           g.n_events
     FROM g JOIN (SELECT user_id, max(sess_id) AS last_id FROM g GROUP BY user_id) z
       ON g.user_id = z.user_id
     WHERE g.sess_id <> z.last_id
@@ -110,18 +119,26 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user stays in state on the bounded replay — see sessionize_users)."""
     from fs2_osm_spark.streaming.events import sessionize_users
 
-    return sessionize_users(spark, sf_dir, gap_hours=6)
+    out = sessionize_users(spark, sf_dir, gap_hours=6)
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)  # noqa: E731
+    return out.select(
+        "user_id", fmt("session_start"), fmt("session_end"), "n_events"
+    )
 
 
 @register(
     "stream_multirollup",
     oracle="""
-    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+    SELECT 'hour' AS grain,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(round(sum(value), 4) AS DOUBLE) AS total
     FROM events GROUP BY 2, 3
     UNION ALL
-    SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+    SELECT 'day' AS grain,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(round(sum(value), 4) AS DOUBLE) AS total
     FROM events GROUP BY 2, 3
@@ -152,13 +169,18 @@ def stream_multirollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_sum", 4).cast("double").alias("total"),
         )
     )
-    return hour_out.unionByName(day)
+    both = hour_out.unionByName(day)
+    return both.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type", "n", "total",
+    )
 
 
 @register(
     "stream_static_join",
     oracle="""
-    SELECT date_trunc('hour', e.ts) AS win_start,
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n,
            CAST(round(sum(e.value), 4) AS DOUBLE) AS total_value
@@ -171,4 +193,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join + windowed agg, batch-parity oracled."""
     from fs2_osm_spark.streaming.events import stream_static_enriched_counts
 
-    return stream_static_enriched_counts(spark, sf_dir)
+    out = stream_static_enriched_counts(spark, sf_dir)
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "nation", "n", "total_value",
+    )

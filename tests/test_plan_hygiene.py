@@ -112,7 +112,13 @@ def test_registered_queries_have_driver_safe_schemas(spark):
 
     from fs2_osm_spark.queries import QUERIES
 
-    banned = (T.MapType, T.StructType, T.ArrayType, T.BinaryType)
+    # timestamps/dates also banned: the driver's value-hash may be
+    # dtype-sensitive (pandas datetime64[ns] vs DuckDB [us]) — serialize to
+    # ISO strings or epoch integers on BOTH sides instead
+    banned = (
+        T.MapType, T.StructType, T.ArrayType, T.BinaryType,
+        T.TimestampType, T.TimestampNTZType, T.DateType,
+    )
     offenders = []
     for name, q in QUERIES.items():
         df = q.fn(spark, SF_SMOKE)
