@@ -95,3 +95,68 @@ def geom_stats_osm_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = osm_tables(spark, 256)
     lines = build_osm_lines(t["ways"], t["nodes"])
     return geometry_stats(lines)
+
+
+@register(
+    "geom_polygon_area",
+    oracle=f"""
+    WITH pts AS (
+        SELECT l_orderkey AS order_id,
+               {_px} AS x, {_py} AS y,
+               lag({_px}) OVER w AS lag_x,
+               lag({_py}) OVER w AS lag_y,
+               CAST(row_number() OVER w AS BIGINT) AS rn
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+    )
+    SELECT order_id,
+           CAST(round(abs(
+               sum(CASE WHEN lag_x IS NULL THEN 0.0
+                        ELSE lag_x * y - x * lag_y END)
+               + max_by(x, rn) * min_by(y, rn)
+               - min_by(x, rn) * max_by(y, rn)
+           ) / 2, 9) AS DOUBLE) AS area_deg2,
+           CAST(count(*) AS BIGINT) AS n_vertices
+    FROM pts GROUP BY order_id
+    """,
+)
+def geom_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area (planar shoelace) over the per-order ring: cyclic cross-term
+    sum via a lag window plus the closing edge from the ordered first/last
+    vertices — the same formula operators/assembly.py::ring_area applies to
+    packed rings during multipolygon hole assignment."""
+    li = load(spark, sf_dir, "lineitem")
+    x = geo.synth_lon(F.col("l_partkey"))
+    y = geo.synth_lat(F.col("l_partkey"))
+    w = Window.partitionBy("order_id").orderBy("l_linenumber", "l_partkey")
+    pts = li.select(
+        F.col("l_orderkey").alias("order_id"),
+        "l_linenumber",
+        "l_partkey",
+        x.alias("x"),
+        y.alias("y"),
+    ).select(
+        "order_id",
+        "x",
+        "y",
+        F.lag("x").over(w).alias("lag_x"),
+        F.lag("y").over(w).alias("lag_y"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    cross = F.when(
+        F.col("lag_x").isNull(), F.lit(0.0)
+    ).otherwise(F.col("lag_x") * F.col("y") - F.col("x") * F.col("lag_y"))
+    return pts.groupBy("order_id").agg(
+        F.round(
+            F.abs(
+                F.sum(cross)
+                + F.max_by("x", "rn") * F.min_by("y", "rn")
+                - F.min_by("x", "rn") * F.max_by("y", "rn")
+            )
+            / 2,
+            9,
+        )
+        .cast("double")
+        .alias("area_deg2"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )

@@ -81,6 +81,7 @@ PRIORITY: list[str] = [
     "r_left_outer_join",
     "geom_line_length",
     "geom_centroid",
+    "geom_polygon_area",
     "osm_decode_semantics_oracle",
     # (b) rows-only, never sampled
     "osm_multipolygons",
@@ -103,8 +104,6 @@ PRIORITY: list[str] = [
     "dedup_cc_clusters",
     "dedup_simhash_fast",
     "sim_ivf_ann",
-    "osm_simple_polygons",
-    "osm_lines_assembly",
     "geo_hex_cell_equalarea",
 ]
 
