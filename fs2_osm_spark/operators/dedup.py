@@ -18,11 +18,17 @@ from pyspark.sql import functions as F
 
 
 def _pin(df: DataFrame) -> DataFrame:
-    """Truncate lineage before reuse/self-join/iteration.
+    """Truncate lineage before ITERATION (connected components).
 
     Uses a RELIABLE checkpoint when the session has a checkpoint dir
     (survives executor loss — what a 1000-executor job must use), else
     localCheckpoint (fine on local[N]; pins executors on a real cluster).
+    Eager by design: callers are iterative loops that run actions anyway.
+
+    Non-iterative self-joins (LSH banding, hamming blocking) use persist()
+    instead — lazy share-once semantics with zero jobs at compose time
+    (under AQE even localCheckpoint(eager=False) materializes the upstream
+    shuffle stages, because RDD conversion executes the adaptive plan).
     """
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
@@ -61,7 +67,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, n_bands: int, n_hashes: int | None = None
+    sigs: DataFrame, id_col: str, n_bands: int, n_hashes: int
 ) -> DataFrame:
     """Band the signature array, self-join on (band, key): candidate pairs.
 
@@ -69,12 +75,11 @@ def lsh_candidate_pairs(
     join, no cross product; hot bands (boilerplate text) are exactly the
     skew case AQE skew-join splitting handles.
 
-    Pass n_hashes (the signature length) explicitly — the fallback runs a
-    driver-side first() that executes the whole upstream signature pipeline
-    once just to measure the array, which a 100 TB caller must not pay.
+    n_hashes (the signature length) is required: composing this operator
+    must never trigger a Spark job, and inferring the length from data would
+    execute the whole upstream signature pipeline once just to measure the
+    array — a cost a 100 TB caller must not pay.
     """
-    if n_hashes is None:
-        n_hashes = len(sigs.select("sig").first()["sig"])
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -90,9 +95,9 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, "bk.band", "bk.key"
     )
-    # pin before the self-join: otherwise BOTH join sides re-run the whole
-    # shingle+minhash pipeline
-    banded = _pin(banded)
+    # persist before the self-join: otherwise BOTH join sides re-run the
+    # whole shingle+minhash pipeline (lazy — composing runs no job)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -183,51 +188,100 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return words.groupBy(id_col).agg(bits.cast("bigint").alias("simhash"))
 
 
+def _band_bounds(n_bands: int) -> list[int]:
+    return [round(i * 64 / n_bands) for i in range(n_bands + 1)]
+
+
+def _band_key(lo: int, hi: int) -> F.Column:
+    # bits [lo, hi) of the unsigned 64-bit hash; mask with bitwiseAND
+    # (sign-safe — % would follow the sign of a negative bigint and
+    # split equal low bits by bit 63). Full-width band needs no mask
+    # (the literal 2^64-1 would overflow int64).
+    shifted = F.shiftrightunsigned(F.col("simhash"), lo)
+    if hi - lo >= 64:
+        return shifted
+    return shifted.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
+
 def hamming_pairs(
-    sims: DataFrame, id_col: str, max_distance: int, n_bands: int | None = None
+    sims: DataFrame,
+    id_col: str,
+    max_distance: int,
+    n_bands: int | None = None,
+    probe_bits: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, multi-band blocked.
+    """Near-dup pairs by SimHash hamming distance — blocked, never all-pairs.
 
-    Pigeonhole guarantee: split the 64 bits into n_bands contiguous bands
-    (default max_distance+1); two hashes within hamming distance d <=
-    n_bands-1 must agree EXACTLY on at least one band, so the union of the
-    per-band equi-joins has full recall — unlike a single prefix block,
-    which silently drops any pair whose differing bits fall inside the
-    prefix. The join key stays (band_idx, band_bits): a co-partitioned
-    equi-join per band, no cross product; duplicates from pairs agreeing on
-    several bands are removed by the groupBy.
+    Pigeonhole recall guarantee: split the 64 bits into n_bands contiguous
+    bands; if two hashes differ in d <= (probe_bits+1)*n_bands - 1 bits,
+    at least one band carries <= probe_bits of those differences, so either
+    the band keys agree exactly (probe_bits=0) or the probe side's <=1-bit
+    perturbation of its key equals the other side's key (probe_bits=1).
+    The union of the per-band equi-joins therefore has full recall.
+
+    Candidate volume is governed by the band key width w = 64/n_bands: each
+    band's self-join groups collide in a 2^w key space, so expected
+    candidates ~ n_bands * N^2 / 2^w for random hashes. Exact banding at
+    large d is a scale trap — d=12 would need 13 bands of ~5 bits (~32 keys,
+    ~N^2/32 candidates per band, effectively all-pairs). Defaults keep the
+    key wide instead:
+
+      d <= 3  -> exact banding, d+1 bands (>= 16-bit keys)   [probe_bits=0]
+      d >  3  -> multi-probe, ceil((d+1)/2) bands            [probe_bits=1]
+                 (probe side also emits every 1-bit flip of each band key:
+                 width+1 probe rows per band, a constant-factor fan-out that
+                 buys half the band count and so squares the key space
+                 relative to exact banding at the same d)
+
+    The join key stays (band_idx, band_bits): a co-partitioned equi-join per
+    band, no cross product; duplicates from pairs matching several
+    bands/probes are removed by the groupBy.
     """
+    if probe_bits is None:
+        probe_bits = 0 if (n_bands is not None or max_distance <= 3) else 1
+    assert probe_bits in (0, 1)
     if n_bands is None:
-        n_bands = max_distance + 1
+        n_bands = (max_distance + probe_bits + 1) // (probe_bits + 1)
     assert 1 <= n_bands <= 64
-    bounds = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
+    if (probe_bits + 1) * n_bands < max_distance + 1:
+        raise ValueError(
+            f"recall guarantee violated: (probe_bits+1)*n_bands="
+            f"{(probe_bits + 1) * n_bands} must exceed max_distance={max_distance}"
+        )
+    bounds = _band_bounds(n_bands)
 
-    def band_key(lo: int, hi: int) -> F.Column:
-        # bits [lo, hi) of the unsigned 64-bit hash; mask with bitwiseAND
-        # (sign-safe — % would follow the sign of a negative bigint and
-        # split equal low bits by bit 63). Full-width band needs no mask
-        # (the literal 2^64-1 would overflow int64).
-        shifted = F.shiftrightunsigned(F.col("simhash"), lo)
-        if hi - lo >= 64:
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+    def entries(probe: bool) -> list[F.Column]:
+        out = []
+        for i in range(n_bands):
+            lo, hi = bounds[i], bounds[i + 1]
+            key = _band_key(lo, hi)
+            out.append(F.struct(F.lit(i).alias("band"), key.alias("key")))
+            if probe and probe_bits >= 1:
+                # every 1-bit perturbation of this band's key (XOR is
+                # literal-folded by Catalyst; bit 63 of a full-width band
+                # flips sign, which bitwiseXOR handles exactly)
+                for j in range(hi - lo):
+                    flip = (1 << j) if (hi - lo < 64 or j < 63) else -(1 << 63)
+                    out.append(
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            key.bitwiseXOR(F.lit(flip)).alias("key"),
+                        )
+                    )
+        return out
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                band_key(bounds[i], bounds[i + 1]).alias("key"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    blocked = (
-        sims.select(F.col(id_col), "simhash", F.explode(bands).alias("bk"))
-        .select(id_col, "simhash", "bk.band", "bk.key")
-    )
-    blocked = _pin(blocked)  # both self-join sides reuse one computation
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    sims = sims.persist()  # lazy: self-join sides reuse one simhash pass
+    exact = sims.select(
+        F.col(id_col), "simhash", F.explode(F.array(*entries(False))).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    if probe_bits == 0:
+        probed = exact
+    else:
+        probed = sims.select(
+            F.col(id_col), "simhash", F.explode(F.array(*entries(True))).alias("bk")
+        ).select(id_col, "simhash", "bk.band", "bk.key")
+    a = probed.alias("a")
+    b = exact.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(

@@ -287,12 +287,35 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_fast", oracle=None)
 def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit xxhash64 SimHash + blocked hamming pairs (rows-only)."""
+    """64-bit xxhash64 SimHash + blocked hamming pairs (rows-only).
+
+    Registered at the standard SimHash near-dup operating point d=3
+    (4 exact bands of 16 bits — ~65k-key bands prune hard at any N); the
+    r02 setting (d=12 → 13 bands of ~5 bits, ~N²/32 candidates per band)
+    was a scale trap. Larger radii go through the multi-probe path, see
+    dedup_simhash_multiprobe."""
     from fs2_osm_spark.operators.dedup import hamming_pairs, simhash64
 
     corpus = _corpus(spark, sf_dir)
     sims = simhash64(corpus, "doc_id", "text")
-    return hamming_pairs(sims, "doc_id", max_distance=12)
+    return hamming_pairs(sims, "doc_id", max_distance=3)
+
+
+@register("dedup_simhash_multiprobe", oracle=None)
+def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wider-radius SimHash near-dup via 1-bit multi-probe banding
+    (rows-only; recall vs brute force pinned by pytest).
+
+    d=8 → 5 bands of ~13 bits: the probe side emits each band key plus its
+    ≤1-bit flips (~14 keys/band), buying half the band count of exact
+    banding and so squaring the per-band key space (8k vs ~90 keys) —
+    candidate volume stays ~linear in N where exact banding at d=8
+    degenerates toward all-pairs."""
+    from fs2_osm_spark.operators.dedup import hamming_pairs, simhash64
+
+    corpus = _corpus(spark, sf_dir)
+    sims = simhash64(corpus, "doc_id", "text")
+    return hamming_pairs(sims, "doc_id", max_distance=8)
 
 
 @register(

@@ -187,3 +187,33 @@ def test_cell_join_python_only_on_polygon_side(spark):
     )
     assert plan.count("MapInPandas") == 1  # cover build only
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_compose_triggers_no_jobs(spark):
+    """Composing the dedup pipeline (signatures -> LSH bands -> candidate
+    pairs -> simhash -> hamming blocking) must not run a single Spark job:
+    no first()-style length probes, and the self-join pins are lazy
+    (localCheckpoint(eager=False) persists without materializing). Only
+    connected_components is allowed to run jobs at compose time — it is an
+    iterative algorithm whose loop IS actions."""
+    from fs2_osm_spark.operators.dedup import (
+        hamming_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash64,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8, n_hashes=32)
+    sims = simhash64(docs, "doc_id", "text")
+    near = hamming_pairs(sims, "doc_id", max_distance=3)
+    near2 = hamming_pairs(sims, "doc_id", max_distance=8)  # multi-probe path
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, f"composition ran jobs: {sorted(after - before)}"
+    # the composed frames still execute fine afterwards
+    assert pairs.columns == ["id_a", "id_b"]
+    assert near.columns == ["id_a", "id_b", "hamming"]
+    assert near2.columns == ["id_a", "id_b", "hamming"]
