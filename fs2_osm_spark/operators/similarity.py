@@ -66,23 +66,28 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int, id_col: str = "vec_id",
     resume/lineage story depends on.)
 
     Scale shape: `xxhash64(id) % sample_mod == 0` thins the corpus ~1/mod in
-    a single narrow scan, then orderBy(id).limit(k) compiles to
+    a single narrow scan, then orderBy(hash, id).limit(k) compiles to
     TakeOrderedAndProject — a distributed partial top-k with no global sort
     shuffle and no driver-side count. (The previous design ran
     row_number() over an un-partitioned Window plus corpus.count(): a
-    single-task full-corpus funnel, the 100 TB scale-killer.) If the thinned
-    sample is too small (tiny corpus), fall back to top-k of the full table.
+    single-task full-corpus funnel, the 100 TB scale-killer.) Ordering by
+    the hash rather than the id keeps the k survivors spread uniformly
+    across the id range — ordering by id would draw every centroid from the
+    head of the corpus, skewing id-correlated data to one region. If the
+    thinned sample is too small (tiny corpus), fall back to top-k-by-hash
+    of the full table.
     """
+    by_hash = [F.xxhash64(F.lit(1), F.col(id_col)), F.col(id_col)]
     sampled = (
         corpus.select(id_col, vec_col)
         .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-        .orderBy(id_col)
+        .orderBy(*by_hash)
         .limit(n_centroids)
         .collect()
     )
     if len(sampled) < n_centroids:
         sampled = (
-            corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+            corpus.select(id_col, vec_col).orderBy(*by_hash).limit(n_centroids).collect()
         )
     return [(i, np.asarray(r[vec_col], np.float64)) for i, r in enumerate(sampled)]
 
@@ -171,6 +176,8 @@ def kmeans_fit(
     to last-ulp drift except on exact ties).
     """
     centroids = ivf_centroids(corpus, k, id_col, vec_col)
+    if not centroids:
+        raise ValueError("kmeans_fit: corpus is empty — no vectors to seed centroids")
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, centroids, vec_col)
         stats = (
@@ -181,7 +188,11 @@ def kmeans_fit(
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        dim = max(r.dim for r in stats) + 1
+        if not stats:
+            # empty corpus (or all-null vectors): nothing to update —
+            # keep the seed centroids rather than crash on max() of []
+            return centroids
+        dim = len(centroids[0][1])
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
         for r in stats:

@@ -275,6 +275,53 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("vec_id", F.round(cos, 5).cast("double").alias("recon_cos"))
 
 
+KMEANS_K = 8
+
+
+@register(
+    "sim_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM e CROSS JOIN cents c
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means ASSIGNMENT step, hard-oracled: k fixed centroids (the
+    first k corpus vectors — deterministic, no fit) and per-vector argmax
+    cosine, run through the engine's real assignment kernel (ivf_assign —
+    one vectorized numpy matmul per Arrow batch). Proves the Python fast
+    path agrees exactly with the SQL argmax; the iterative Lloyd FIT has no
+    SQL twin and stays pytest-pinned (sim_kmeans_clusters)."""
+    import numpy as np
+
+    from fs2_osm_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = [
+        np.asarray(r.v, np.float64)
+        for r in emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    ]
+    # centroid index == vec_id because ids are dense from 0 (asserted)
+    assert len(cents) == KMEANS_K
+    assigned = ivf_assign(emb, list(enumerate(cents)))
+    return assigned.select("vec_id", F.col("centroid_id").cast("bigint"))
+
+
 @register("sim_kmeans_clusters", oracle=None)
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table (rows-only —
