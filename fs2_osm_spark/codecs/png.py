@@ -88,29 +88,28 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic lossy codec ("jpeg-like" STUB).
-#
-# Real JPEG (DCT + huffman) needs an image library this container lacks.
-# The engine treats lossy compression as an opaque codec boundary; this stub
-# preserves the contract that matters to the pipeline — decode(encode(x))
-# approximates x with PSNR >= 40 dB — via uniform quantization (step 4:
-# worst-case error 3, expected PSNR ~= 43 dB) + zlib. The Spark-side
-# plumbing (binary column, batch decode in mapInPandas, PSNR invariant)
-# is real and tested; swap encode/decode for a true JPEG codec in prod.
+# Lossy codec boundary. The real implementation is codecs/dct.py ("JQ01"):
+# 8x8 block DCT + quantization + zigzag + zlib, pure numpy — the baseline
+# JPEG architecture without the Huffman stage. The legacy "LQ01" uniform-
+# quantization stub remains decode-only so payloads written by earlier
+# rounds still parse.
 # ---------------------------------------------------------------------------
 _LOSSY_MAGIC = b"LQ01"
 
 
-def encode_lossy(img: np.ndarray) -> bytes:
-    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
-    h, w = img.shape[:2]
-    q = (img >> 2).astype(np.uint8)  # 6-bit quantization
-    return _LOSSY_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+def encode_lossy(img: np.ndarray, quality: int | None = None) -> bytes:
+    from fs2_osm_spark.codecs.dct import DEFAULT_QUALITY, encode_dct
+
+    return encode_dct(img, DEFAULT_QUALITY if quality is None else quality)
 
 
 def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] == b"JQ01":
+        from fs2_osm_spark.codecs.dct import decode_dct
+
+        return decode_dct(data)
     if data[:4] != _LOSSY_MAGIC:
-        raise ValueError("not an LQ01 payload")
+        raise ValueError("not a JQ01/LQ01 payload")
     w, h = struct.unpack(">II", data[4:12])
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
     return ((q.astype(np.uint16) << 2) + 2).clip(0, 255).astype(np.uint8)
@@ -119,7 +118,7 @@ def decode_lossy(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
-    if fmt in ("jpeg", "lq01"):
+    if fmt in ("jpeg", "lq01", "jq01"):
         return decode_lossy(data)
     raise ValueError(f"unknown format: {fmt}")
 

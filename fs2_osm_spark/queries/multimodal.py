@@ -46,18 +46,69 @@ def img_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok.select("image_id", "psnr_db", "lossless")
 
 
-@register("img_geotag_cells", oracle=None)
+def _geotag_cells_oracle() -> str:
+    from fs2_osm_spark.functions.hex import hex_cell_sql
+    from fs2_osm_spark.synth.staging import IMAGES_FIXTURE
+
+    return f"""
+    WITH pts AS (
+        SELECT CAST(regexp_extract(caption, 'at (-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1)
+                    AS DOUBLE) AS lat,
+               CAST(regexp_extract(caption, 'at (-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2)
+                    AS DOUBLE) AS lon
+        FROM read_parquet('{IMAGES_FIXTURE}')
+    )
+    SELECT {hex_cell_sql("lon", "lat", 6)} AS cell,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pts GROUP BY 1
+    """
+
+
+@register("img_geotag_cells", oracle=_geotag_cells_oracle())
 def img_geotag_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption geotag + hex cell histogram — the skew profile of the hot
-    cities (drives the salting factor)."""
+    cities (drives the salting factor). Hard-oracled: both engines read the
+    staged image fixture (synth/staging.py) and evaluate the same regexp +
+    formula-identical hex-cell SQL."""
     from fs2_osm_spark.functions.hex import hex_cell
+    from fs2_osm_spark.synth.staging import ensure_images_fixture
 
-    images = images_table(spark, N_IMAGES)
+    images = spark.read.parquet(ensure_images_fixture())
     pts = geotag(images)
     return (
         pts.select(hex_cell(F.col("lon"), F.col("lat"), 6).alias("cell"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _decode_dims_oracle() -> str:
+    from fs2_osm_spark.synth.staging import IMAGES_FIXTURE
+
+    return f"""
+    SELECT image_id, CAST(w AS BIGINT) AS dec_w, CAST(h AS BIGINT) AS dec_h,
+           true AS phash_match
+    FROM read_parquet('{IMAGES_FIXTURE}')
+    """
+
+
+@register("img_decode_dims", oracle=_decode_dims_oracle())
+def img_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode cross-checked against independent metadata: the Spark
+    side DECODES every image (PNG + JQ01 paths) and reports the decoded
+    dimensions and phash agreement; the oracle reads the staged fixture's
+    stored (w, h) columns and asserts phash_match for every row. A decoder
+    that mis-sizes, crops, or distorts any image breaks the value hash.
+    (The pixel-mean stats stay rows-only in img_decode_stats — means of
+    decoded bytes have no SQL twin.)"""
+    from fs2_osm_spark.synth.staging import ensure_images_fixture
+
+    images = spark.read.parquet(ensure_images_fixture())
+    return decode_stats(images).select(
+        "image_id",
+        F.col("dec_w").cast("bigint"),
+        F.col("dec_h").cast("bigint"),
+        "phash_match",
     )
 
 
