@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+from fs2_osm_spark.catalog import read_table, write_table
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,8 +49,8 @@ def run_export(
 
     def sink(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(output_root, name)
-        df.write.mode("overwrite").parquet(path)
-        out = spark.read.parquet(path)
+        write_table(df, path)
+        out = read_table(spark, path)
         summary[name] = out.count()
         return out
 
@@ -73,7 +74,7 @@ def run_export(
 
     # ---- Phase B: feature passes (after the barrier) ----
     lines = build_osm_lines(ways_t, nodes_t).cache()
-    rw_t = spark.read.parquet(os.path.join(output_root, "relations_ways"))
+    rw_t = read_table(spark, os.path.join(output_root, "relations_ways"))
     # the `polygons` table is way-sourced only (PolygonFeature.scala:30-32:
     # combineWays is commented out), with the exact taggedPolygons whitelist
     sink(lines, "osm_lines")

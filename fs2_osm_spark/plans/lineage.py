@@ -8,11 +8,12 @@ per-partition lineage/metrics rows to a checkpoint table; a restarted job
 anti-joins completed batch ids and reprocesses only the remainder, so a
 failed run resumes idempotently.
 
-Storage is a parquet append table (this container has no Iceberg catalog
-jars; on a cluster the same code targets an Iceberg table via
-df.writeTo(...).append() — the layout below is write-compatible with that
-swap). Batch data lands under data/batch=<id>/ so a re-run of a completed
-batch overwrites deterministically instead of duplicating.
+All reads/writes route through fs2_osm_spark.catalog (write_table /
+read_table), so the storage format is a single switch: parquet here (the
+container has no Iceberg jars), iceberg on a cluster (the handler issues
+df.writeTo(<catalog>.db.<table>) and fails descriptively when the catalog
+is absent). Batch data lands under data/batch=<id>/ so a re-run of a
+completed batch overwrites deterministically instead of duplicating.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import os
 import time
 from collections.abc import Callable
 
+from fs2_osm_spark.catalog import read_table, write_table
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -46,7 +48,7 @@ class LineageLog:
 
     def completed(self) -> set[str]:
         try:
-            df = self.spark.read.parquet(self.dir)
+            df = read_table(self.spark, self.dir)
         except Exception:  # noqa: BLE001 — first run: no log yet
             return set()
         rows = df.filter(F.col("status") == "ok").select("batch_id").distinct().collect()
@@ -69,10 +71,10 @@ class LineageLog:
         df = self.spark.createDataFrame(rows, base).withColumn(
             "attempt_ts", F.current_timestamp()
         )
-        df.coalesce(1).write.mode("append").parquet(self.dir)
+        write_table(df.coalesce(1), self.dir, mode="append")
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(self.dir)
+        return read_table(self.spark, self.dir)
 
 
 def run_batched(
@@ -112,7 +114,7 @@ def run_batched(
             .collect()
         )
         n = sum(r.n for r in pstats)
-        out.write.mode("overwrite").parquet(os.path.join(root, "data", f"batch={b}"))
+        write_table(out, os.path.join(root, "data", f"batch={b}"))
         out.unpersist()
         log.record(
             b,
@@ -126,4 +128,4 @@ def run_batched(
 
 
 def read_all_batches(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "data", "batch=*"))
+    return read_table(spark, os.path.join(root, "data", "batch=*"))

@@ -48,12 +48,13 @@ def encode_block(
     lat_offset: int = 0,
     lon_offset: int = 0,
     dense_info: bytes | None = None,
+    date_granularity: int = 1000,
 ) -> bytes:
     """Protobuf PrimitiveBlock bytes (ids/lats/lons delta-coded, as on the
     wire)."""
     return encode_primitive_block(
         ids, lats, lons, keys_vals, string_table,
-        granularity, lat_offset, lon_offset, dense_info,
+        granularity, lat_offset, lon_offset, dense_info, date_granularity,
     )
 
 
@@ -86,6 +87,11 @@ def iter_frames(data: bytes) -> Iterator[bytes]:
         pos += datasize
         if type_ != "OSMData":
             continue
+        if raw is None and zdata is None:
+            raise ValueError(
+                "unsupported blob compression: neither raw nor zlib_data "
+                "present (lz4/zstd/obsolete bzip2 blobs are not supported)"
+            )
         payload = raw if raw is not None else zlib.decompress(zdata)
         if raw_size >= 0 and len(payload) != raw_size:
             raise ValueError(
@@ -229,12 +235,16 @@ def read_node_info_from_frames(spark: SparkSession, path: str) -> DataFrame:
                     uid = np.cumsum(np.asarray(di.get("uids", []), np.int64))
                     usid = np.cumsum(np.asarray(di.get("user_sids", []), np.int64))
                     vers = di.get("versions", [])
+                    # osmformat.proto: timestamp epoch ms = value *
+                    # date_granularity (field 18, default 1000) — a foreign
+                    # file may use a non-default unit
+                    dg = int(b.get("date_granularity", 1000))
                     for k, osm_id in enumerate(ids.tolist()):
                         rows.append(
                             (
                                 osm_id,
                                 int(vers[k]) if k < len(vers) else -1,
-                                int(ts[k]) * 1000 if k < len(ts) else None,
+                                int(ts[k]) * dg if k < len(ts) else None,
                                 int(cs[k]) if k < len(cs) else None,
                                 int(uid[k]) if k < len(uid) else None,
                                 st[int(usid[k])] if k < len(usid) else None,

@@ -168,6 +168,7 @@ def encode_primitive_block(
     lat_offset: int = 0,
     lon_offset: int = 0,
     dense_info: bytes | None = None,
+    date_granularity: int = 1000,
 ) -> bytes:
     """PrimitiveBlock bytes; ids/lats/lons are the DELTA-coded arrays
     (the proto stores deltas — same contract as the decode kernel)."""
@@ -192,6 +193,8 @@ def encode_primitive_block(
     write_len_field(block, 2, bytes(group))
     if granularity != 100:
         write_varint_field(block, 17, granularity)
+    if date_granularity != 1000:
+        write_varint_field(block, 18, date_granularity)
     if lat_offset:
         write_varint_field(block, 19, lat_offset)
     if lon_offset:
@@ -211,6 +214,7 @@ def decode_primitive_block(data: bytes) -> dict:
     relations: list[dict] = []
     info: dict[str, list[int]] = {}
     granularity, lat_offset, lon_offset = 100, 0, 0
+    date_granularity = 1000  # osmformat.proto field 18 default (ms per unit)
 
     for field, wire, v in iter_fields(data):
         if field == 1 and wire == _LEN:  # stringtable
@@ -252,6 +256,8 @@ def decode_primitive_block(data: bytes) -> dict:
                     relations.append(_decode_relation(g))
         elif field == 17 and wire == _VARINT:
             granularity = _to_signed32(v)
+        elif field == 18 and wire == _VARINT:
+            date_granularity = _to_signed32(v)
         elif field == 19 and wire == _VARINT:
             lat_offset = _to_signed64(v)
         elif field == 20 and wire == _VARINT:
@@ -264,6 +270,7 @@ def decode_primitive_block(data: bytes) -> dict:
         "keys_vals": np.asarray(keys_vals, np.int32),
         "string_table": strings,
         "granularity": granularity,
+        "date_granularity": date_granularity,
         "lat_offset": lat_offset,
         "lon_offset": lon_offset,
         "ways": ways,

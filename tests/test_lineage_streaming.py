@@ -65,6 +65,58 @@ def test_run_batched_then_resume(spark, source):
         assert all(v == 100 for v in per_batch.values())
 
 
+def test_table_format_swap_reruns_lineage_resume(spark, source):
+    """The catalog boundary is an interface fact: register a monkeypatch
+    table format (a counting wrapper over parquet), switch the engine to
+    it, and re-run the full crash/resume lifecycle through the swapped
+    handlers — every write and read must route through the boundary."""
+    from fs2_osm_spark import catalog
+
+    calls = {"write": 0, "read": 0}
+
+    def w(df, path, mode):
+        calls["write"] += 1
+        catalog.WRITERS["parquet"](df, path, mode)
+
+    def r(sp, path):
+        calls["read"] += 1
+        return catalog.READERS["parquet"](sp, path)
+
+    catalog.WRITERS["testfmt"] = w
+    catalog.READERS["testfmt"] = r
+    catalog.set_table_format("testfmt")
+    try:
+        with tempfile.TemporaryDirectory() as root:
+            with pytest.raises(RuntimeError, match="injected failure"):
+                run_batched(spark, source, "batch", root, _transform, fail_after=2)
+            assert run_batched(spark, source, "batch", root, _transform) == 3
+            got = sorted(
+                (r.id, r.val2) for r in read_all_batches(spark, root).collect()
+            )
+            want = sorted((r.id, r.val2) for r in _transform(source).collect())
+            assert got == want
+    finally:
+        catalog.set_table_format("parquet")
+        del catalog.WRITERS["testfmt"], catalog.READERS["testfmt"]
+    assert calls["write"] >= 10 and calls["read"] >= 2  # all IO routed
+
+
+def test_iceberg_format_fails_clearly_without_catalog(spark, source):
+    """Selecting iceberg without catalog jars must fail with a descriptive
+    error at the first write, not a ClassNotFound mid-job."""
+    from fs2_osm_spark import catalog
+
+    catalog.set_table_format("iceberg")
+    try:
+        with tempfile.TemporaryDirectory() as root:
+            with pytest.raises(RuntimeError, match="no 'lake' catalog"):
+                run_batched(spark, source, "batch", root, _transform)
+    finally:
+        catalog.set_table_format("parquet")
+    with pytest.raises(ValueError, match="unknown table format"):
+        catalog.set_table_format("hudi")
+
+
 def test_streaming_windowed_counts_match_batch(spark):
     got = sorted(
         map(tuple, windowed_event_counts(spark, SF_SMOKE).collect())

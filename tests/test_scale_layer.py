@@ -157,11 +157,58 @@ def test_pbf_wire_format_is_real_protobuf():
     assert out["granularity"] == 200
     assert out["lat_offset"] == 500000000
     assert out["lon_offset"] == -300000000
-    # forward compatibility: append an unknown varint field, still decodes
+    # date_granularity (field 18) is decoded, defaulting to 1000
+    assert out["date_granularity"] == 1000
     extra = bytearray(blk)
-    write_varint_field(extra, 18, 1000)  # date_granularity
+    write_varint_field(extra, 18, 2000)
     out2 = decode_primitive_block(bytes(extra))
     assert out2["ids"].tolist() == [42, -1, 2]
+    assert out2["date_granularity"] == 2000
+    # forward compatibility: a genuinely unknown field is skipped
+    extra2 = bytearray(blk)
+    write_varint_field(extra2, 63, 7)
+    assert decode_primitive_block(bytes(extra2))["ids"].tolist() == [42, -1, 2]
+
+
+def test_info_timestamps_respect_date_granularity(spark):
+    """A foreign PBF with non-default date_granularity (field 18) must
+    scale DenseInfo timestamps by it, not by a hardcoded 1000."""
+    from fs2_osm_spark.sources.pbf_frames import read_node_info_from_frames
+    from fs2_osm_spark.sources.proto_wire import encode_dense_info
+
+    di = encode_dense_info([1, 1], [750_000_000, 5], [7, 1], [3, 0], [1, 0])
+    blk = encode_block(
+        [100, 1], [0, 1], [0, 1], [], ["", "alice"],
+        dense_info=di, date_granularity=2000,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "part.osm.pbf")
+        write_frames(path, [blk])
+        rows = {r.osm_id: r for r in
+                read_node_info_from_frames(spark, path).collect()}
+    assert rows[100].epoch_ms == 750_000_000 * 2000
+    assert rows[101].epoch_ms == 750_000_005 * 2000
+    assert rows[101].user == "alice"
+
+
+def test_unsupported_blob_compression_raises():
+    """A blob with neither raw nor zlib_data (e.g. lz4_data field 6) must
+    fail with a clear error, not TypeError from zlib.decompress(None)."""
+    import struct
+
+    from fs2_osm_spark.sources.proto_wire import (
+        encode_blob_header,
+        write_len_field,
+        write_varint_field,
+    )
+
+    blob = bytearray()
+    write_varint_field(blob, 2, 10)  # raw_size
+    write_len_field(blob, 6, b"\x00" * 10)  # lz4_data (unsupported)
+    hdr = encode_blob_header("OSMData", len(blob))
+    data = struct.pack(">i", len(hdr)) + hdr + bytes(blob)
+    with pytest.raises(ValueError, match="unsupported blob compression"):
+        list(iter_frames(data))
 
 
 def test_way_relation_frame_decode(spark):
