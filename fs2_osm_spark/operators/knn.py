@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fs2_osm_spark.functions.geo import haversine_m
-from fs2_osm_spark.functions.hex import hex_cell, hex_kring
+from fs2_osm_spark.functions.hex import hex_cell, hex_cell_ea, hex_kring
 
 
 def knn_kring(
@@ -26,6 +26,7 @@ def knn_kring(
     ring: int = 2,
     query_id_col: str = "query_id",
     target_id_col: str = "target_id",
+    equal_area: bool = False,
 ) -> DataFrame:
     """queries(query_id, lon, lat) x targets(target_id, lon, lat)
     -> (query_id, rank, target_id, dist_m) with rank <= k.
@@ -33,12 +34,21 @@ def knn_kring(
     Plan: targets keyed by their cell (one shuffle); queries explode their
     k-ring (3r²+3r+1 literal offsets, pure Column math) and equi-join on
     cell. Incomplete results (query in a sparse region) are a recall/ring
-    trade-off, exactly like IVF n_probe."""
+    trade-off, exactly like IVF n_probe.
+
+    Grid choice: the default planar grid's east-west GROUND coverage per
+    ring shrinks by cos(lat) — fine inside a narrow latitude band, but the
+    effective search radius varies on globally-spread data. equal_area=True
+    indexes on the lon*cos(lat) grid (hex_cell_ea): k-ring offsets are the
+    same axial lattice, and the ring's ground radius stays ~uniform across
+    latitudes. Refinement is exact haversine either way, so the grid only
+    affects candidate recall, never the distances."""
+    cell_of = hex_cell_ea if equal_area else hex_cell
     t = targets.select(
         F.col(target_id_col),
         F.col("lon").alias("t_lon"),
         F.col("lat").alias("t_lat"),
-        hex_cell(F.col("lon"), F.col("lat"), res).alias("cell"),
+        cell_of(F.col("lon"), F.col("lat"), res).alias("cell"),
     )
     # materialize the cell id once before expanding the ring: hex_kring adds
     # 3r²+3r+1 literal offsets, and inlining hex_cell would replicate its
@@ -47,7 +57,7 @@ def knn_kring(
         F.col(query_id_col),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
-        hex_cell(F.col("lon"), F.col("lat"), res).alias("cell0"),
+        cell_of(F.col("lon"), F.col("lat"), res).alias("cell0"),
     ).select(
         query_id_col,
         "q_lon",

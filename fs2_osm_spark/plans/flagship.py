@@ -50,6 +50,19 @@ HEX_RES = 8
 TILE_Z = 12
 JOIN_RES = 8  # cover-cell resolution of the PIP join (~0.0042 deg cells)
 
+# Grid-validity note: the flagship cover and cell outputs use the PLANAR
+# hex grid. The grid only gates candidate generation (exact ray-cast
+# refinement decides membership), so the planar choice can never change
+# join RESULTS — it affects cell-size uniformity. The synthetic corpus sits
+# in the 52-54N city band where planar ground area varies by
+# cos(52)/cos(54) - 1 < 5% (pinned by
+# tests/test_geo_kernels.py::test_flagship_band_planar_grid_skew_bounded).
+# Globally-spread corpora should index on the equal-area grid instead
+# (hex_cell_ea; see geo_hex_cell_equalarea and geo_knn_kring_ea): EA cover
+# building would additionally have to rasterize rings in the warped plane
+# with edge densification, which is why the in-band flagship keeps the
+# planar grid.
+
 
 def scale_for(sf_dir: str) -> tuple[int, int]:
     return SCALES.get(os.path.basename(sf_dir.rstrip("/")), (2_000, 128))

@@ -250,10 +250,21 @@ def _hex_qr_sql(lon: str, lat: str, res: int) -> tuple[str, str]:
     return q, r
 
 
+def _hex_qr_ea_sql(lon: str, lat: str, res: int) -> tuple[str, str]:
+    """Axial coords on the equal-area grid: lon scaled by the same fixed
+    cos polynomial as hex_cell_ea (bit-identical across engines)."""
+    from fs2_osm_spark.functions.hex import DEG2RAD, _cospoly_sql
+
+    scaled = f"(({lon}) * {_cospoly_sql(f'({lat}) * {DEG2RAD!r}')})"
+    return _hex_qr_sql(scaled, lat, res)
+
+
 _KNN_RES = 2
 _KNN_RING = 3
 _qq, _qr = _hex_qr_sql(_q_lon, _q_lat, _KNN_RES)
 _tq, _tr = _hex_qr_sql(_c_lon, _c_lat, _KNN_RES)
+_qq_ea, _qr_ea = _hex_qr_ea_sql(_q_lon, _q_lat, _KNN_RES)
+_tq_ea, _tr_ea = _hex_qr_ea_sql(_c_lon, _c_lat, _KNN_RES)
 
 
 @register(
@@ -306,6 +317,62 @@ def geo_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_kring(
         q, t, k=3, res=_KNN_RES, ring=_KNN_RING,
         query_id_col="query_id", target_id_col="cust_id",
+    )
+    return out.select("query_id", "rank", "cust_id")
+
+
+@register(
+    "geo_knn_kring_ea",
+    oracle=f"""
+    WITH q AS (
+        SELECT n_nationkey AS query_id,
+               {_q_lon} AS q_lon, {_q_lat} AS q_lat,
+               {_qq_ea} AS qq, {_qr_ea} AS qr
+        FROM nation
+    ),
+    t AS (
+        SELECT c_custkey AS cust_id,
+               {_c_lon} AS c_lon, {_c_lat} AS c_lat,
+               {_tq_ea} AS tq, {_tr_ea} AS tr
+        FROM customer
+    ),
+    cand AS (
+        SELECT q.query_id, t.cust_id,
+               {geo.haversine_m_sql("q.q_lon", "q.q_lat", "t.c_lon", "t.c_lat")} AS d
+        FROM q JOIN t
+          ON (abs(q.qq - t.tq) + abs(q.qr - t.tr) + abs(q.qq + q.qr - t.tq - t.tr)) / 2
+             <= {_KNN_RING}
+    )
+    SELECT query_id, rank, cust_id FROM (
+        SELECT query_id, cust_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(d, 3), cust_id) AS BIGINT) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    """,
+)
+def geo_knn_kring_ea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring kNN on the EQUAL-AREA hex grid (lon*cos(lat) indexing) — the
+    global-data variant whose ring ground-radius stays ~uniform across
+    latitudes; the SQL twin replicates the same EA axial-coordinate ring
+    restriction, so candidate generation is checked exactly."""
+    from fs2_osm_spark.operators.knn import knn_kring
+
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    q = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("query_id"),
+        geo.synth_lon(F.col("n_nationkey") + 7).alias("lon"),
+        geo.synth_lat(F.col("n_nationkey") + 7).alias("lat"),
+    )
+    t = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        geo.synth_lon(F.col("c_custkey")).alias("lon"),
+        geo.synth_lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = knn_kring(
+        q, t, k=3, res=_KNN_RES, ring=_KNN_RING,
+        query_id_col="query_id", target_id_col="cust_id", equal_area=True,
     )
     return out.select("query_id", "rank", "cust_id")
 

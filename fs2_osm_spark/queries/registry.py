@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # back (their rows stand).
 PRIORITY: list[str] = [
     # (a) never driver-sampled
+    "geo_knn_kring_ea",
     "sim_kmeans_assign",
     "sim_kmeans_clusters",
     "dedup_simhash_multiprobe",

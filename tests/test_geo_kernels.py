@@ -246,3 +246,54 @@ def test_hex_equalarea_parity_and_uniformity(spark):
     assert abs(high - eq) / eq < 0.10  # equal-area: same cells per km^2
     p_eq, p_high = n_cells(hex_cell_np, 0.0), n_cells(hex_cell_np, 60.0)
     assert p_high / p_eq > 1.7  # planar: ~2x the cells for the same ground
+
+
+def test_flagship_band_planar_grid_skew_bounded():
+    """Validity of the flagship's PLANAR hex grid: across the synthetic
+    corpus' actual latitude extent, planar cell ground area varies by
+    cos(lat_min)/cos(lat_max), which must stay under 10%. (Membership is
+    decided by the exact ray cast, so the grid can never change join
+    results — this pins the efficiency premise; a corpus that left the band
+    should switch to hex_cell_ea.)"""
+    from fs2_osm_spark.synth.images import coords_for_ids
+
+    ids = np.arange(100_000, dtype=np.int64)
+    _, lat = coords_for_ids(ids)
+    lo, hi = float(np.min(lat)), float(np.max(lat))
+    skew = math.cos(math.radians(lo)) / math.cos(math.radians(hi))
+    assert skew < 1.10, (lo, hi, skew)
+
+
+def test_kring_knn_equal_area_high_latitude_matches_brute_force(spark):
+    """EA-grid k-ring kNN recall at lat ~64N, where a planar ring's
+    east-west ground coverage has shrunk to cos(64) = 44%: with the
+    equal-area index the same ring radius still yields the exact kNN."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fs2_osm_spark.operators.knn import knn_brute_force, knn_kring
+
+    rng = np.random.default_rng(21)
+    t_lon = rng.uniform(20.0, 21.4, 400)
+    t_lat = rng.uniform(63.7, 64.3, 400)
+    targets = spark.createDataFrame(
+        pd.DataFrame({"target_id": np.arange(400), "lon": t_lon, "lat": t_lat})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": np.arange(25),
+             "lon": rng.uniform(20.2, 21.2, 25),
+             "lat": rng.uniform(63.8, 64.2, 25)}
+        )
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.target_id)
+        for r in knn_kring(
+            queries, targets, k=3, res=4, ring=3, equal_area=True
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.target_id)
+        for r in knn_brute_force(queries, targets, k=3).collect()
+    )
+    assert got == want and len(got) == 75
