@@ -187,6 +187,23 @@ def main() -> None:
             q.fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
 
+        # full PBF lifecycle: synthesize frames -> wire decode -> export
+        # fan-out + 17 feature passes -> flagship join, batched + lineage
+        # (the reference's whole runExport stitched to the north rule)
+        import tempfile
+
+        from fs2_osm_spark.plans.pbf_pipeline import run_pbf_pipeline
+        from fs2_osm_spark.sources.pbf_writer import write_osm_pbf
+
+        pbf_root = tempfile.mkdtemp(prefix="bench_pbf_")
+        write_osm_pbf(spark, os.path.join(pbf_root, "pbf"), 512, 32).collect()
+        t0 = time.time()
+        run_pbf_pipeline(
+            spark, os.path.join(pbf_root, "pbf"), os.path.join(pbf_root, "out"),
+            n_images=2_000, n_batches=8,
+        )
+        timings["pbf_lifecycle_512z"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "spatial-join + tile-assignment throughput",
         "value": round(n_images / flagship_sec, 1),
@@ -196,8 +213,24 @@ def main() -> None:
         "n_images": n_images,
         "join_rows": out_rows,
         "cpus": cpus,
+        "scaling": load_scaling_evidence(),
     }
     print(json.dumps(result))
+
+
+def load_scaling_evidence() -> dict:
+    """Embed the latest scaling-efficiency measurement (raw AND normalized
+    plus the hardware null-test ceiling) so every BENCH_r{N}.json carries
+    the north-rule evidence. Refreshed by tools/scaling_bench.py, which
+    also enforces the >= 0.8 normalized gate."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return {"missing": True, "refresh": "python tools/scaling_bench.py"}
 
 
 if __name__ == "__main__":

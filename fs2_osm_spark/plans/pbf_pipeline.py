@@ -1,0 +1,125 @@
+"""End-to-end PBF lifecycle: framed .osm.pbf -> decode -> export -> features
+-> flagship spatial join, as one resumable job.
+
+This stitches the full reference lifecycle (PbfReader -> importers ->
+PostgresExporter.runExport, PostgresExporter.scala:41-58) to the north-rule
+flagship: S4/S5 framing+protobuf, S6-S10 decode, S12-S14 sinks + the 17
+feature passes (run_export), then the image PIP join + tiling, batched with
+per-batch lineage rows so a killed run resumes idempotently
+(plans/lineage.py).
+
+The frame readers yield wire-shaped rows (tags_json, delta-decoded refs,
+member arrays); `frame_tables` bridges them to the engine's normalized
+schemas — the name column lifts from tags["name"] (which stays in the map,
+as in real OSM data; FIXTURES.md: name = tags['name'] when present),
+relation members explode to the (relation_id, way_id, index, role) table
+filtered to way members, exactly the reference's RelationImporter split
+(RelationImporter.scala:21-70).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def frame_tables(spark: SparkSession, pbf_dir: str) -> dict[str, DataFrame]:
+    """Decoded wire rows -> normalized nodes/ways/relations/relations_ways."""
+    from fs2_osm_spark.sources.pbf_frames import (
+        read_nodes_from_frames,
+        read_relations_from_frames,
+        read_ways_from_frames,
+    )
+
+    nodes = read_nodes_from_frames(spark, pbf_dir)
+
+    tags_map = F.from_json("tags_json", "map<string,string>")
+    ways = (
+        read_ways_from_frames(spark, pbf_dir)
+        .select(
+            F.col("way_id").alias("osm_id"),
+            tags_map.alias("_tags"),
+            F.col("refs").alias("nodes"),
+        )
+        .select(
+            "osm_id",
+            F.col("_tags")["name"].alias("name"),
+            "nodes",
+            F.col("_tags").alias("tags"),
+        )
+    )
+
+    rels_raw = read_relations_from_frames(spark, pbf_dir).select(
+        "relation_id", tags_map.alias("_tags"),
+        "member_ids", "member_roles", "member_types",
+    )
+    relations = rels_raw.select(
+        F.col("relation_id").alias("osm_id"),
+        F.col("_tags")["name"].alias("name"),
+        F.col("_tags")["type"].alias("type"),
+        F.col("_tags").alias("tags"),
+    )
+    relations_ways = (
+        rels_raw.select(
+            "relation_id",
+            F.posexplode(
+                F.arrays_zip("member_ids", "member_roles", "member_types")
+            ).alias("index", "m"),
+        )
+        .filter(F.col("m.member_types") == "way")
+        .select(
+            "relation_id",
+            F.col("m.member_ids").alias("way_id"),
+            F.col("index").cast("int").alias("index"),
+            F.col("m.member_roles").alias("role"),
+        )
+    )
+    return {
+        "nodes": nodes,
+        "ways": ways,
+        "relations": relations,
+        "relations_ways": relations_ways,
+    }
+
+
+def run_pbf_pipeline(
+    spark: SparkSession,
+    pbf_dir: str,
+    output_root: str,
+    n_images: int = 2_000,
+    n_batches: int = 8,
+    fail_after: int | None = None,
+) -> dict:
+    """The full lifecycle. Returns {"summary": export Summary dict,
+    "batches": batches processed this invocation}.
+
+    The flagship stage writes batched by a coarse tile stripe through the
+    lineage log — kill and re-submit to resume from the last completed
+    batch (fail_after is the pytest crash hook)."""
+    from fs2_osm_spark.operators.assembly import feature_polygons
+    from fs2_osm_spark.plans.export import run_export
+    from fs2_osm_spark.plans.flagship import flagship_from_tables
+    from fs2_osm_spark.plans.lineage import run_batched
+    from fs2_osm_spark.synth.images import images_table
+
+    t = frame_tables(spark, pbf_dir)
+    summary = run_export(
+        spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
+        os.path.join(output_root, "export"),
+    )
+
+    polygons = feature_polygons(
+        t["ways"], t["nodes"], t["relations"], t["relations_ways"]
+    ).select("polygon_id", "outer", "inners")
+    images = images_table(spark, n_images)
+    result = flagship_from_tables(images, polygons)
+    batched = result.withColumn(
+        "batch", F.pmod(F.col("tile_x"), F.lit(n_batches))
+    )
+    n = run_batched(
+        spark, batched, "batch", os.path.join(output_root, "flagship"),
+        fail_after=fail_after,
+    )
+    return {"summary": summary, "batches": n}
