@@ -53,6 +53,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # back (their rows stand).
 PRIORITY: list[str] = [
     # (a) never driver-sampled
+    "temporal_asof_join",
+    "temporal_range_join",
     "geo_knn_kring_ea",
     "sim_kmeans_assign",
     "sim_kmeans_clusters",

@@ -1,0 +1,146 @@
+"""Temporal joins over the events table, hard-oracled.
+
+The as-of query's DuckDB twin uses DuckDB's NATIVE ASOF JOIN — a fully
+independent implementation of the semantics — while the Spark side runs the
+engine's union + ordered-window formulation (operators/temporal.py), so the
+two can only agree if the operator is actually correct. The range join's
+twin is the plain inequality join DuckDB evaluates via IEJoin; the Spark
+side must reproduce it through bin-and-refine blocking.
+
+All time arithmetic is epoch-microsecond bigint on both engines
+(F.unix_micros / epoch_us): integer-exact, no float rounding to reconcile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.io import load
+from fs2_osm_spark.queries.registry import register
+
+_MIN_US = 60_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+_ASOF_ORACLE = """
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events
+    ),
+    l AS (
+        SELECT event_id, user_id, ts_us, value FROM e
+        WHERE event_type = 'click'
+    ),
+    r0 AS (
+        SELECT user_id, ts_us AS r_ts,
+               max(event_id) AS r_event_id,
+               arg_max(value, event_id) AS r_value
+        FROM e WHERE event_type = 'view'
+        GROUP BY user_id, ts_us
+    )
+    SELECT l.event_id AS click_id,
+           l.user_id,
+           l.ts_us AS click_ts_us,
+           r0.r_event_id,
+           r0.r_value,
+           r0.r_ts,
+           l.ts_us - r0.r_ts AS gap_us
+    FROM l ASOF LEFT JOIN r0
+      ON l.user_id = r0.user_id AND l.ts_us >= r0.r_ts
+"""
+
+
+@register("temporal_asof_join", oracle=_ASOF_ORACLE)
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click matched to the user's latest earlier
+    (or simultaneous) view. Spark side = union + ordered window +
+    last(ignorenulls) (one shuffle, no join node); oracle = DuckDB's native
+    ASOF JOIN. Right side pre-deduped per (user, ts) by max event_id so the
+    match is deterministic."""
+    from fs2_osm_spark.operators.temporal import asof_join
+
+    e = _events_us(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts_us").alias("click_ts_us"), "value",
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = asof_join(
+        clicks, views, "user_id", "click_ts_us", "ts_us",
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts_us",
+        F.col("r_event_id"),
+        F.col("r_value"),
+        F.col("r_ts"),
+        (F.col("click_ts_us") - F.col("r_ts")).alias("gap_us"),
+    )
+
+
+_RANGE_ORACLE = f"""
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, event_id AS id, ts_us AS start,
+               ts_us + (1 + event_id % 5) * {_MIN_US} AS "end"
+        FROM e WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, event_id AS id, ts_us AS start,
+               ts_us + (1 + event_id % 7) * {_MIN_US} AS "end"
+        FROM e WHERE event_type = 'view'
+    )
+    SELECT l.id AS l_id, r.id AS r_id,
+           least(l."end", r."end") - greatest(l.start, r.start) AS overlap
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND l.start <= r."end" AND r.start <= l."end"
+"""
+
+
+@register("temporal_range_join", oracle=_RANGE_ORACLE)
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: click sessions [ts, ts + 1-5 min] x view
+    sessions [ts, ts + 1-7 min] per user. Spark side = bin-and-refine
+    blocking (5-minute bins, equi-join on (user, bin), exact inequality
+    refine, pair dedupe); oracle = DuckDB's plain inequality join."""
+    from fs2_osm_spark.operators.temporal import interval_overlap_join
+
+    e = _events_us(spark, sf_dir)
+
+    def intervals(etype: str, mod: int) -> DataFrame:
+        return e.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias("id"),
+            F.col("ts_us").alias("start"),
+            (F.col("ts_us") + (1 + F.col("event_id") % mod) * _MIN_US).alias("end"),
+        )
+
+    out = interval_overlap_join(
+        intervals("click", 5), intervals("view", 7),
+        key_col="user_id", bin_width=5 * _MIN_US,
+    )
+    return out.select("l_id", "r_id", "overlap")
