@@ -186,6 +186,11 @@ def main() -> None:
             t0 = time.time()
             q.fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
+        # free the dedup operators' lazy plan-pins between bench sections
+        # (cached blocks otherwise accumulate for the rest of the session)
+        from fs2_osm_spark.operators.dedup import release_pins
+
+        release_pins()
 
         # full PBF lifecycle: synthesize frames -> wire decode -> export
         # fan-out + 17 feature passes -> flagship join, batched + lineage

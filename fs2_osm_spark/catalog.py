@@ -15,6 +15,7 @@ suite through it to prove the boundary is real.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,30 +32,83 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_BATCH_RE = re.compile(r"^batch=(.+)$")
+
+
+def _split_batch(path: str) -> tuple[str, str | None]:
+    """Lineage batch layout <root>/data/batch=<id> maps to ONE iceberg
+    table (<root>/data) with `batch` as a partition column — per-path
+    basenames would yield invalid/colliding identifiers (db.batch=3,
+    db.batch=*). Returns (table_path, batch_value_or_None); '*' means the
+    whole-table glob read."""
+    norm = path.rstrip("/")
+    m = _BATCH_RE.match(os.path.basename(norm))
+    if m:
+        return os.path.dirname(norm), m.group(1)
+    return norm, None
+
+
+def _iceberg_catalog() -> str:
+    return os.environ.get("FS2_OSM_ICEBERG_CATALOG", "lake")
+
+
 def _iceberg_ident(path: str) -> str:
     # lake layout <root>/<table> -> <catalog>.<namespace>.<table>
-    cat = os.environ.get("FS2_OSM_ICEBERG_CATALOG", "lake")
-    return f"{cat}.db.{os.path.basename(path.rstrip('/'))}"
+    base_path, _ = _split_batch(path)
+    table = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(base_path.rstrip("/")))
+    return f"{_iceberg_catalog()}.db.{table}"
+
+
+def _require_catalog(df: DataFrame) -> None:
+    cat = _iceberg_catalog()
+    key = f"spark.sql.catalog.{cat}"
+    # runtime SQL conf sees both spark-submit --conf and spark.conf.set()
+    # entries (catalog resolution is lazy, so runtime-set catalogs work)
+    if df.sparkSession.conf.get(key, None) is None:
+        raise RuntimeError(
+            f"iceberg table format selected but no {cat!r} catalog is "
+            f"configured ({key}=org.apache.iceberg.spark.SparkCatalog + "
+            "iceberg-spark-runtime jars required)"
+        )
 
 
 def _write_iceberg(df: DataFrame, path: str, mode: str) -> None:
-    if "spark.sql.catalog.lake" not in dict(
-        df.sparkSession.sparkContext.getConf().getAll()
-    ):
-        raise RuntimeError(
-            "iceberg table format selected but no 'lake' catalog is "
-            "configured (spark.sql.catalog.lake=org.apache.iceberg.spark."
-            "SparkCatalog + iceberg-spark-runtime jars required)"
-        )
+    from pyspark.sql import functions as F
+
+    _, batch = _split_batch(path)
+    if batch == "*":
+        raise ValueError(f"cannot write to a batch glob: {path}")
+    _require_catalog(df)
     ident = _iceberg_ident(path)
-    if mode == "append":
-        df.writeTo(ident).append()
+    exists = df.sparkSession.catalog.tableExists(ident)
+    if batch is not None:
+        df = df.withColumn("batch", F.lit(batch))
+        if not exists:
+            df.writeTo(ident).partitionedBy(F.col("batch")).create()
+        elif mode == "append":
+            df.writeTo(ident).append()
+        else:
+            # parquet overwrites just this batch dir; iceberg equivalent is
+            # a dynamic partition overwrite of the batch partition
+            df.writeTo(ident).overwritePartitions()
+    elif mode == "append":
+        df.writeTo(ident).append() if exists else df.writeTo(ident).create()
     else:
         df.writeTo(ident).createOrReplace()
 
 
 def _read_iceberg(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.table(_iceberg_ident(path))
+    from pyspark.sql import functions as F
+
+    base_path, batch = _split_batch(path)
+    df = spark.read.table(_iceberg_ident(base_path))
+    if batch == "*":
+        # the parquet glob read lists batch dirs as roots, so the batch
+        # partition column is not projected — mirror that
+        return df.drop("batch")
+    if batch is not None:
+        return df.filter(F.col("batch") == batch).drop("batch")
+    return df
 
 
 WRITERS: dict[str, WriteFn] = {"parquet": _write_parquet, "iceberg": _write_iceberg}

@@ -36,6 +36,33 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+# Every lazy plan-pin persist() issued by this module, so long-lived
+# sessions (bench loops, the driver sampling all queries) have a release
+# path: cached blocks otherwise accumulate until session end, since an
+# operator cannot unpersist mid-plan without losing the share-once shape.
+_PINNED: list[DataFrame] = []
+
+
+def _persist_pinned(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every plan-pin this module has persisted. Safe any time —
+    an in-flight plan that still references a released pin just recomputes.
+    Call after materializing a dedup query's result. Returns the count."""
+    n = 0
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+        n += 1
+    return n
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) word n-grams. JVM-side: split/posexplode/lead."""
     words = df.select(
@@ -96,8 +123,9 @@ def lsh_candidate_pairs(
         id_col, "bk.band", "bk.key"
     )
     # persist before the self-join: otherwise BOTH join sides re-run the
-    # whole shingle+minhash pipeline (lazy — composing runs no job)
-    banded = banded.persist()
+    # whole shingle+minhash pipeline (lazy — composing runs no job);
+    # registered in _PINNED so release_pins() can free the cache later
+    banded = _persist_pinned(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -270,7 +298,8 @@ def hamming_pairs(
                     )
         return out
 
-    sims = sims.persist()  # lazy: self-join sides reuse one simhash pass
+    # lazy: self-join sides reuse one simhash pass (release via release_pins)
+    sims = _persist_pinned(sims)
     exact = sims.select(
         F.col(id_col), "simhash", F.explode(F.array(*entries(False))).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.key")

@@ -54,21 +54,36 @@ DECODE_STATS_SCHEMA = T.StructType(
         T.StructField("mean_r", T.DoubleType(), False),
         T.StructField("mean_g", T.DoubleType(), False),
         T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("std_r", T.DoubleType(), False),
+        T.StructField("std_g", T.DoubleType(), False),
+        T.StructField("std_b", T.DoubleType(), False),
         T.StructField("phash_match", T.BooleanType(), False),
     ]
 )
 
+# phash is designed to survive high-quality lossy compression: the JQ01
+# path decodes within a few bits of the stored hash (measured max 4 over
+# the synth corpus, which is noise-like and therefore phash-hostile);
+# lossless decode must reproduce the hash exactly.
+PHASH_LOSSY_TOLERANCE = 6
+
 
 def decode_stats(images: DataFrame) -> DataFrame:
-    """Decode every image, emit pixel stats + phash verification."""
+    """Decode every image, emit per-channel pixel stats + phash
+    verification. phash_match is a REAL check on both codec paths: exact
+    for lossless PNG, hamming <= PHASH_LOSSY_TOLERANCE for the lossy JQ01
+    decode — a distorting decoder breaks it either way."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 img = decode_image(bytes(r.bytes), r.fmt)
-                means = img.reshape(-1, 3).mean(axis=0)
-                ph_ok = r.fmt != "png" or phash64(img) == r.phash
+                flat = img.reshape(-1, 3).astype(np.float64)
+                means = flat.mean(axis=0)
+                stds = flat.std(axis=0)
+                dist = bin(phash64(img) ^ r.phash).count("1")
+                ph_ok = dist == 0 if r.fmt == "png" else dist <= PHASH_LOSSY_TOLERANCE
                 rows.append(
                     (
                         r.image_id,
@@ -77,6 +92,9 @@ def decode_stats(images: DataFrame) -> DataFrame:
                         float(means[0]),
                         float(means[1]),
                         float(means[2]),
+                        float(stds[0]),
+                        float(stds[1]),
+                        float(stds[2]),
                         bool(ph_ok),
                     )
                 )
@@ -84,7 +102,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 rows,
                 columns=[
                     "image_id", "dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
-                    "phash_match",
+                    "std_r", "std_g", "std_b", "phash_match",
                 ],
             )
 
@@ -126,6 +144,28 @@ def pixel_roundtrip(images: DataFrame) -> DataFrame:
     )
 
 
+def block_mean_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized box-mean resample of one HxWx3 array to (out_h, out_w).
+
+    reduceat over both axes: duplicate boundary indices (upscale cells)
+    yield the single row/col at that index — the same one-pixel fallback
+    the scalar formulation used. Pixel values are small integers in
+    float64, so the sums are exact and the output is bit-identical to the
+    per-cell mean() loop it replaced."""
+    img = img.astype(np.float64)
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    row_sum = np.add.reduceat(img, ys[:-1], axis=0)
+    cell_sum = np.add.reduceat(row_sum, xs[:-1], axis=1)
+    cnt = (
+        np.maximum(np.diff(ys), 1)[:, None]
+        * np.maximum(np.diff(xs), 1)[None, :]
+    ).astype(np.float64)
+    out = cell_sum / cnt[:, :, None]
+    return out.clip(0, 255).astype(np.uint8)
+
+
 def resize_block_mean(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Block-mean resample to (out_w, out_h), re-encoded as PNG.
 
@@ -139,6 +179,7 @@ def resize_block_mean(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             T.StructField("w", T.IntegerType(), False),
             T.StructField("h", T.IntegerType(), False),
             T.StructField("fmt", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
         ]
     )
 
@@ -146,20 +187,18 @@ def resize_block_mean(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                img = decode_image(bytes(r.bytes), r.fmt).astype(np.float64)
-                h, w = img.shape[:2]
-                ys = (np.arange(out_h + 1) * h) // out_h
-                xs = (np.arange(out_w + 1) * w) // out_w
-                out = np.empty((out_h, out_w, 3), np.float64)
-                for i in range(out_h):
-                    for j in range(out_w):
-                        out[i, j] = img[
-                            ys[i] : max(ys[i + 1], ys[i] + 1),
-                            xs[j] : max(xs[j + 1], xs[j] + 1),
-                        ].mean(axis=(0, 1))
-                small = out.clip(0, 255).astype(np.uint8)
-                rows.append((r.image_id, encode_png(small), out_w, out_h, "png"))
-            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+                img = decode_image(bytes(r.bytes), r.fmt)
+                small = block_mean_resize(img, out_w, out_h)
+                # phash of the DERIVED image rides along: downstream
+                # decode_stats can verify the thumbnail losslessly, and
+                # thumbnail-level near-dup joins get their key for free
+                rows.append(
+                    (r.image_id, encode_png(small), out_w, out_h, "png",
+                     phash64(small))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]
+            )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema)
 

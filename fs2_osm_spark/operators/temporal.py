@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -34,57 +35,94 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left.* plus the right_cols of the latest right
-    row with right_ts <= left_ts (same key). Unmatched left rows keep
-    nulls (left-outer semantics); ties at equal timestamps match
-    (inclusive). right rows must be unique per (key, ts) — pre-dedupe if
-    not (determinism would otherwise depend on shuffle order).
+    """As-of join: left.* plus the right_cols of the nearest right row per
+    key — direction='backward' (default) takes the latest right row with
+    right_ts <= left_ts; direction='forward' the earliest right row with
+    right_ts >= left_ts. Unmatched left rows keep nulls (left-outer
+    semantics); ties at equal timestamps match (inclusive). right rows must
+    be unique per (key, ts) — pre-dedupe if not (determinism would
+    otherwise depend on shuffle order).
 
-    tolerance_us: if set, a match older than this is nulled out (the
-    pandas merge_asof `tolerance` contract).
+    tolerance_us: if set, a match further than this from left_ts is nulled
+    out (the pandas merge_asof `tolerance` contract).
+
+    All right_cols travel inside ONE struct carried by a single
+    last(ignorenulls=True), so every output row's r_* columns come from the
+    SAME right row even when some of its values are legitimately NULL
+    (carrying columns independently would backfill a NULL member from an
+    older right row — diverging from merge_asof / DuckDB ASOF JOIN).
 
     Both ts columns must already be bigint epoch-microseconds (use
     F.unix_micros) — integer time keeps every comparison and the oracle
-    hash exact."""
+    hash exact.
+
+    Scale note (hot keys): each key's full event stream flows through one
+    window task — the standard log-merge formulation, one shuffle, no join
+    node. A single pathological key (say one user with 10^8 events) becomes
+    a straggler at extreme scale; the known mitigation is time-range
+    pre-bucketing (split each key's timeline into coarse buckets, run the
+    as-of within each bucket carrying the previous bucket's last right row
+    as a seed). Not implemented here — no registered workload is skewed
+    enough to need it."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tagged = left.select(
         F.col(key_col).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_cols],
-        F.lit(None).cast("long").alias("_r_ts"),
+        F.lit(None).cast(
+            T.StructType(
+                [T.StructField("_ts", T.LongType())]
+                + [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+            )
+        ).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key_col).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(
+            F.col(right_ts).cast("long").alias("_ts"),
+            *[F.col(c) for c in right_cols],
+        ).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # right (_side 0) sorts before left at equal ts -> inclusive match
+    # backward scans time ascending, forward descending; either way the
+    # right row (_side 0) must sort before a left row at equal ts so the
+    # inclusive match is visible at currentRow
+    order = (
+        [F.col("_ts").asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col("_ts").desc(), F.col("_side").asc()]
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-               for c in right_cols]
-    matched_ts = F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts")
-    out = unioned.select("*", *carried, matched_ts).filter(F.col("_side") == 1)
-    keep_match = F.col("_m_ts").isNotNull()
+    # the struct is non-null for every right row (even if members are null),
+    # so last(ignorenulls) lands on exactly one right row per left row
+    out = (
+        unioned.select("*", F.last("_r", ignorenulls=True).over(w).alias("_m"))
+        .filter(F.col("_side") == 1)
+    )
+    keep_match = F.col("_m").isNotNull()
     if tolerance_us is not None:
-        keep_match = keep_match & (
-            (F.col("_ts") - F.col("_m_ts")) <= F.lit(tolerance_us)
+        gap = (
+            F.col("_ts") - F.col("_m._ts")
+            if direction == "backward"
+            else F.col("_m._ts") - F.col("_ts")
         )
+        keep_match = keep_match & (gap <= F.lit(tolerance_us))
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.when(keep_match, F.col(f"_m_{c}")).alias(f"r_{c}")
+        *[F.when(keep_match, F.col(f"_m.{c}")).alias(f"r_{c}")
           for c in right_cols],
-        F.when(keep_match, F.col("_m_ts")).alias("r_ts"),
+        F.when(keep_match, F.col("_m._ts")).alias("r_ts"),
     )
 
 

@@ -47,6 +47,15 @@ class LineageLog:
         self.dir = os.path.join(root, "_lineage")
 
     def completed(self) -> set[str]:
+        # Existence-check before the first read: letting Spark probe a
+        # missing path throws (and WARN-logs a Java stack trace via the
+        # FileStreamSink probe) on every fresh run, which makes bench and
+        # lifecycle logs look crashed. Only the parquet handler maps to a
+        # filesystem path; other formats fall through to the try/except.
+        from fs2_osm_spark.catalog import table_format
+
+        if table_format() == "parquet" and not os.path.exists(self.dir):
+            return set()
         try:
             df = read_table(self.spark, self.dir)
         except Exception:  # noqa: BLE001 — first run: no log yet

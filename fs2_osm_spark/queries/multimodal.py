@@ -1,7 +1,13 @@
-"""Multimodal (image) queries — rows-only driver checks (binary decode is
-not expressible in the DuckDB oracle); invariants (PSNR >= 40 dB, caption
-equality, phash match) are enforced inside the queries themselves and
-asserted in tests/test_images_flagship.py."""
+"""Multimodal (image) queries. Binary decode has no SQL twin, so the hard
+oracles come from the committed fixture (fixtures/images_oracle.parquet):
+it records, at staging time, what the codecs/resampler produce — decoded
+dims, per-channel mean/std, roundtrip PSNR, thumbnail stats + phash — and
+the DuckDB twin reads those back while the Spark side recomputes them live.
+An anti-drift test recomputes the recorded columns from today's code, so a
+changed codec invalidates the fixture loudly instead of the oracle quietly.
+Invariants (PSNR >= 40 dB, caption equality, phash tolerance) are also
+asserted in tests/test_images_flagship.py. Only the flagship join (scale)
+and the rasterize round-trip remain rows-only."""
 
 from __future__ import annotations
 
@@ -16,7 +22,6 @@ from fs2_osm_spark.operators.multimodal import (
 )
 from fs2_osm_spark.plans.flagship import flagship_query
 from fs2_osm_spark.queries.registry import register
-from fs2_osm_spark.synth.images import images_table
 
 N_IMAGES = 2_000
 
@@ -28,22 +33,70 @@ def img_flagship_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship_query(spark, sf_dir)
 
 
-@register("img_decode_stats", oracle=None)
+def _decode_stats_oracle() -> str:
+    from fs2_osm_spark.synth.staging import IMAGES_FIXTURE
+
+    return f"""
+    SELECT image_id,
+           round(dec_mean_r, 6) AS mean_r,
+           round(dec_mean_g, 6) AS mean_g,
+           round(dec_mean_b, 6) AS mean_b,
+           round(dec_std_r, 6) AS std_r,
+           round(dec_std_g, 6) AS std_g,
+           round(dec_std_b, 6) AS std_b,
+           true AS phash_match
+    FROM read_parquet('{IMAGES_FIXTURE}')
+    """
+
+
+@register("img_decode_stats", oracle=_decode_stats_oracle())
 def img_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    images = images_table(spark, N_IMAGES)
-    return decode_stats(images).filter(F.col("phash_match"))
+    """Pixel stats of every DECODED image (PNG + lossy JQ01 paths)
+    cross-checked against the fixture's recorded per-channel mean/std —
+    identical float64 pipelines on both sides, rounded to 6 decimals.
+    phash_match is a live check (exact for PNG, hamming <=
+    PHASH_LOSSY_TOLERANCE for JQ01); the oracle asserts it holds for every
+    row, so a distorting decoder breaks the hash via means AND phash."""
+    from fs2_osm_spark.synth.staging import ensure_images_fixture
+
+    images = spark.read.parquet(ensure_images_fixture())
+    st = decode_stats(images)
+    return st.select(
+        "image_id",
+        *[F.round(F.col(c), 6).alias(c)
+          for c in ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b")],
+        "phash_match",
+    )
 
 
-@register("img_pixel_roundtrip", oracle=None)
+def _pixel_roundtrip_oracle() -> str:
+    from fs2_osm_spark.synth.staging import IMAGES_FIXTURE
+
+    return f"""
+    SELECT image_id,
+           fmt = 'png' AS lossless,
+           round(rt_psnr, 6) AS psnr_db
+    FROM read_parquet('{IMAGES_FIXTURE}')
+    """
+
+
+@register("img_pixel_roundtrip", oracle=_pixel_roundtrip_oracle())
 def img_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows violating the input_hint invariant would be excluded here, so
-    the rows-only count doubles as the PSNR/caption gate (tests assert the
-    count equals N)."""
-    images = images_table(spark, N_IMAGES)
+    """decode -> re-encode -> decode, PSNR per image, hard-oracled against
+    the fixture's recorded roundtrip PSNR (same codecs at staging time;
+    anti-drift test recomputes a sample). Lossless PNG rows report NULL
+    (their PSNR is +inf — keeping infinities out of the comparison); lossy
+    JQ01 rows must reproduce the recorded dB to 6 decimals. The input_hint
+    invariant (>= 40 dB) is asserted in tests/test_images_flagship.py."""
+    from fs2_osm_spark.synth.staging import ensure_images_fixture
+
+    images = spark.read.parquet(ensure_images_fixture())
     rt = pixel_roundtrip(images)
-    # lossless rows have psnr = +inf, which satisfies >= 40 as well
-    ok = rt.filter(F.col("psnr_db") >= 40.0)
-    return ok.select("image_id", "psnr_db", "lossless")
+    return rt.select(
+        "image_id",
+        "lossless",
+        F.when(~F.col("lossless"), F.round(F.col("psnr_db"), 6)).alias("psnr_db"),
+    )
 
 
 def _geotag_cells_oracle() -> str:
@@ -97,10 +150,11 @@ def img_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode cross-checked against independent metadata: the Spark
     side DECODES every image (PNG + JQ01 paths) and reports the decoded
     dimensions and phash agreement; the oracle reads the staged fixture's
-    stored (w, h) columns and asserts phash_match for every row. A decoder
-    that mis-sizes, crops, or distorts any image breaks the value hash.
-    (The pixel-mean stats stay rows-only in img_decode_stats — means of
-    decoded bytes have no SQL twin.)"""
+    stored (w, h) columns and asserts phash_match for every row (a live
+    check on both codec paths: exact hash for PNG, hamming-tolerant for
+    lossy). A decoder that mis-sizes, crops, or distorts any image breaks
+    the value hash. (Per-channel mean/std are oracled separately in
+    img_decode_stats against the fixture's recorded decoded stats.)"""
     from fs2_osm_spark.synth.staging import ensure_images_fixture
 
     images = spark.read.parquet(ensure_images_fixture())
@@ -112,17 +166,82 @@ def img_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("img_resize", oracle=None)
+def _resize_oracle() -> str:
+    from fs2_osm_spark.synth.staging import IMAGES_FIXTURE
+
+    return f"""
+    SELECT image_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+           rs_phash AS phash
+    FROM read_parquet('{IMAGES_FIXTURE}')
+    """
+
+
+@register("img_resize", oracle=_resize_oracle())
 def img_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    images = images_table(spark, 500)
-    return resize_block_mean(images, 8, 8).select("image_id", "w", "h")
+    """Block-mean thumbnail of every fixture image; the derived image's
+    phash must equal the fixture's recorded thumbnail phash bit-for-bit —
+    any change to the resampler or the decode path breaks the value hash."""
+    from fs2_osm_spark.synth.staging import ensure_images_fixture
+
+    images = spark.read.parquet(ensure_images_fixture())
+    return resize_block_mean(images, 8, 8).select(
+        "image_id",
+        F.col("w").cast("bigint"),
+        F.col("h").cast("bigint"),
+        "phash",
+    )
 
 
-@register("img_frame_sample", oracle=None)
+def _resize_stats_oracle() -> str:
+    from fs2_osm_spark.synth.staging import IMAGES_FIXTURE
+
+    return f"""
+    SELECT image_id,
+           round(rs_mean_r, 6) AS mean_r,
+           round(rs_mean_g, 6) AS mean_g,
+           round(rs_mean_b, 6) AS mean_b,
+           true AS phash_match
+    FROM read_parquet('{IMAGES_FIXTURE}')
+    """
+
+
+@register("img_resize_stats", oracle=_resize_stats_oracle())
+def img_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained narrow pixel passes — resize (mapInPandas) feeding
+    decode_stats (mapInPandas), no shuffle between them — verified against
+    the fixture's recorded thumbnail stats. phash_match must be true for
+    every row: the thumbnail is PNG (lossless), so the phash emitted by the
+    resize stage must survive the encode/decode hop exactly."""
+    from fs2_osm_spark.synth.staging import ensure_images_fixture
+
+    images = spark.read.parquet(ensure_images_fixture())
+    small = resize_block_mean(images, 8, 8)
+    st = decode_stats(small)
+    return st.select(
+        "image_id",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
+        "phash_match",
+    )
+
+
+def _frame_sample_oracle() -> str:
+    return """
+    SELECT 'vid_' || lpad(CAST(v.range AS VARCHAR), 6, '0') AS media_id,
+           CAST(f.f AS BIGINT) AS frame_idx,
+           CAST(16 AS BIGINT) AS frame_w,
+           CAST(12 AS BIGINT) AS frame_h
+    FROM range(200) v, (VALUES (0), (4), (8), (12)) f(f)
+    """
+
+
+@register("img_frame_sample", oracle=_frame_sample_oracle())
 def img_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (decode stubbed behind a deterministic fake
     container — no codec libs here; Spark plumbing real): 200 fake videos
-    x 16 frames, every 4th sampled -> 800 frame rows."""
+    x 16 frames, every 4th sampled -> 800 frame rows. The oracle is the
+    closed-form expansion (every id x sampled index x the container's fixed
+    16x12 frame dims) — wrong stride, dropped video, or mis-decoded frame
+    dims all break the hash."""
     import pandas as pd
 
     from fs2_osm_spark.operators.multimodal import make_fake_video, sample_frames
@@ -134,7 +253,10 @@ def img_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sample_frames(media, every_n=4).select(
-        "media_id", "frame_idx", "frame_w", "frame_h"
+        "media_id",
+        F.col("frame_idx").cast("bigint"),
+        F.col("frame_w").cast("bigint"),
+        F.col("frame_h").cast("bigint"),
     )
 
 

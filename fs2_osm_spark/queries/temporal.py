@@ -98,6 +98,76 @@ def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_FWD_ORACLE = """
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events
+    ),
+    l AS (
+        SELECT event_id, user_id, ts_us FROM e
+        WHERE event_type = 'click'
+    ),
+    r0 AS (
+        SELECT user_id, ts_us AS r_ts,
+               max(event_id) AS r_event_id,
+               CASE WHEN max(event_id) % 10 = 0 THEN NULL
+                    ELSE arg_max(value, event_id) END AS r_value
+        FROM e WHERE event_type = 'view'
+        GROUP BY user_id, ts_us
+    )
+    SELECT l.event_id AS click_id,
+           l.user_id,
+           l.ts_us AS click_ts_us,
+           r0.r_event_id,
+           r0.r_value,
+           r0.r_ts,
+           r0.r_ts - l.ts_us AS gap_us
+    FROM l ASOF LEFT JOIN r0
+      ON l.user_id = r0.user_id AND l.ts_us <= r0.r_ts
+"""
+
+
+@register("temporal_asof_forward", oracle=_ASOF_FWD_ORACLE)
+def temporal_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the user's EARLIEST later
+    (or simultaneous) view — the window formulation with the sort order
+    flipped. Every 10th view's value is nulled on BOTH sides so the oracle
+    also pins the struct-carry semantics: the matched row's legitimately
+    NULL value must come through as NULL, never backfilled from another
+    right row (pandas merge_asof / DuckDB ASOF contract)."""
+    from fs2_osm_spark.operators.temporal import asof_join
+
+    e = _events_us(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.when(
+                F.max("event_id") % 10 != 0, F.max_by("value", "event_id")
+            ).alias("value"),
+        )
+    )
+    out = asof_join(
+        clicks, views, "user_id", "click_ts_us", "ts_us",
+        right_cols=["event_id", "value"],
+        direction="forward",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts_us",
+        F.col("r_event_id"),
+        F.col("r_value"),
+        F.col("r_ts"),
+        (F.col("r_ts") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
 _RANGE_ORACLE = f"""
     WITH e AS (
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type

@@ -38,12 +38,16 @@ from fs2_osm_spark.sources.proto_wire import (
 )
 
 
-def _delta(vals: list[int]) -> list[int]:
-    out, prev = [], 0
-    for v in vals:
-        out.append(int(v) - prev)
-        prev = int(v)
-    return out
+def _delta(vals) -> list[int]:
+    """Delta-encode against a 0 seed, vectorized (the per-way/per-node
+    Python loop this replaces dominated the writer's profile)."""
+    a = np.asarray(vals, np.int64)
+    if a.size == 0:
+        return []
+    out = np.empty_like(a)
+    out[0] = a[0]
+    out[1:] = a[1:] - a[:-1]
+    return out.tolist()
 
 
 def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
@@ -54,7 +58,7 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
 
     # ---- dense nodes (granularity 100 -> units of 1e-7 deg) ----
     nd = t["nodes"].sort_values("osm_id")
-    ids = nd["osm_id"].astype(np.int64).tolist()
+    ids = nd["osm_id"].to_numpy(np.int64)
     lat_u = np.round(nd["lat"].to_numpy(np.float64) * 1e7).astype(np.int64)
     lon_u = np.round(nd["lon"].to_numpy(np.float64) * 1e7).astype(np.int64)
     st: list[str] = [""]
@@ -73,7 +77,7 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
                 kv.extend((intern(k), intern(v)))
             kv.append(0)
     node_block = encode_primitive_block(
-        _delta(ids), _delta(lat_u.tolist()), _delta(lon_u.tolist()), kv, st
+        _delta(ids), _delta(lat_u), _delta(lon_u), kv, st
     )
 
     # ---- ways + relations entity group (shared string table) ----
@@ -96,24 +100,30 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
                 int(r.osm_id),
                 [intern2(k) for k in tags],
                 [intern2(v) for v in tags.values()],
-                _delta(list(r.nodes)),
+                _delta(r.nodes),
             )
         )
-    rw = t["relations_ways"]
+    # one linear groupby pre-index instead of an O(relations x members)
+    # boolean scan per relation (the old rw[rw.relation_id == id] pattern)
+    rw = t["relations_ways"].sort_values(["relation_id", "index"])
+    members_by_rel = {
+        rid: (g["role"].tolist(), _delta(g["way_id"].to_numpy(np.int64)))
+        for rid, g in rw.groupby("relation_id", sort=False)
+    }
     rel_msgs = []
     for r in t["relations"].itertuples():
         tags = dict(r.tags)
         if r.name:
             tags["name"] = r.name
-        members = rw[rw["relation_id"] == r.osm_id].sort_values("index")
+        roles, way_deltas = members_by_rel.get(int(r.osm_id), ([], []))
         rel_msgs.append(
             encode_relation(
                 int(r.osm_id),
                 [intern2(k) for k in tags],
                 [intern2(v) for v in tags.values()],
-                [intern2(role) for role in members["role"]],
-                _delta(members["way_id"].astype(np.int64).tolist()),
-                [1] * len(members),  # MemberType WAY
+                [intern2(role) for role in roles],
+                way_deltas,
+                [1] * len(roles),  # MemberType WAY
             )
         )
     entity_block = encode_entity_group(st2, way_msgs, rel_msgs)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from fs2_osm_spark.codecs.png import (
@@ -161,3 +162,29 @@ def test_images_fixture_matches_live_synthesis():
     assert (tbl["w"].values == live["w"].values).all()
     assert (tbl["h"].values == live["h"].values).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(tbl["bytes"], live["bytes"]))
+
+
+def test_images_fixture_decoded_stats_match_decoder():
+    """The fixture's recorded per-channel mean/std (the img_decode_stats
+    oracle's ground truth) must equal what today's decoders produce — a
+    silently-changed codec invalidates the fixture loudly here instead of
+    the oracle quietly."""
+    import pyarrow.parquet as pq
+
+    from fs2_osm_spark.synth.staging import (
+        decoded_stats_columns,
+        derived_image_columns,
+        ensure_images_fixture,
+    )
+
+    tbl = pq.read_table(ensure_images_fixture()).to_pandas()
+    sample = tbl.iloc[::7]  # ~285 rows spanning both codec paths
+    assert set(sample["fmt"]) == {"png", "jpeg"}
+    for name, vals in decoded_stats_columns(sample).items():
+        assert (vals == sample[name].to_numpy()).all(), name
+    derived = derived_image_columns(sample)
+    for name in ("rs_mean_r", "rs_mean_g", "rs_mean_b", "rs_phash"):
+        assert (derived[name] == sample[name].to_numpy()).all(), name
+    got_psnr = pd.Series(derived["rt_psnr"], index=sample.index, dtype="float64")
+    assert got_psnr.isna().equals(sample["rt_psnr"].isna())
+    assert (got_psnr.dropna() == sample["rt_psnr"].dropna()).all()

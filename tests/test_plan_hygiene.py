@@ -217,3 +217,31 @@ def test_dedup_compose_triggers_no_jobs(spark):
     assert pairs.columns == ["id_a", "id_b"]
     assert near.columns == ["id_a", "id_b", "hamming"]
     assert near2.columns == ["id_a", "id_b", "hamming"]
+
+
+def test_dedup_release_pins_frees_cache(spark):
+    """The lazy plan-pins (persist() before self-joins) must have a release
+    path: after materializing results, release_pins() unpersists every
+    cached frame this module created — long sessions (bench loops, driver
+    sampling) otherwise accumulate cached blocks until session end."""
+    from fs2_osm_spark.operators.dedup import (
+        hamming_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        release_pins,
+        simhash64,
+    )
+
+    release_pins()  # drain pins from earlier tests
+    jsc = spark.sparkContext._jsc.sc()
+    n0 = jsc.getPersistentRDDs().size()  # non-dedup caches may exist
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(100)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=4, n_hashes=16)
+    near = hamming_pairs(simhash64(docs, "doc_id", "text"), "doc_id", max_distance=3)
+    pairs.count(), near.count()
+    assert jsc.getPersistentRDDs().size() >= n0 + 2  # pins live after actions
+    assert release_pins() >= 2
+    assert jsc.getPersistentRDDs().size() == n0
+    # released frames still compute (they just recompute lineage)
+    assert pairs.count() >= 0

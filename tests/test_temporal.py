@@ -161,3 +161,96 @@ def test_temporal_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan2 and "NestedLoop" not in plan2
+
+
+def test_asof_join_forward_semantics(asof_frames):
+    left, right = asof_frames
+    out = {
+        r.lid: (r.r_rid, r.r_ts)
+        for r in asof_join(
+            left, right, "k", "lts", "rts", right_cols=["rid", "rv"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[10] == (20, 100)     # tie at equal ts matches (inclusive)
+    assert out[11] == (None, None)  # no later right row for k=1
+    assert out[12] == (20, 100)     # earliest later (100), not latest (120)
+    assert out[13] == (23, 250)
+    assert out[14] == (None, None)
+    assert out[15] == (None, None)
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 300),
+            "lts": rng.integers(0, 10_000, 300),
+            "lid": np.arange(300),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 200),
+            "rts": rng.integers(0, 10_000, 200),
+            "rid": np.arange(1000, 1200),
+        }
+    ).drop_duplicates(subset=["k", "rts"], keep="last")
+    got = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+            "k", "lts", "rts", right_cols=["rid"], direction="forward",
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        lpdf.sort_values("lts"), rpdf.sort_values("rts"),
+        left_on="lts", right_on="rts", by="k", direction="forward",
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+def test_asof_join_null_member_not_backfilled(spark):
+    """A legitimately NULL value in the MATCHED right row must come through
+    as NULL — never backfilled from an older right row (all right_cols ride
+    one struct; carrying them independently regressed exactly this)."""
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "lts": [12, 30]}))
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1],
+                "rts": [5, 10, 25],
+                "rid": [100, 101, 102],
+                "rv": [7.0, None, None],
+            }
+        )
+    )
+    rows = {
+        r.lts: (r.r_rid, r.r_rv, r.r_ts)
+        for r in asof_join(
+            left, right, "k", "lts", "rts", right_cols=["rid", "rv"]
+        ).collect()
+    }
+    # lts=12 matches rts=10 whose rv IS NULL: rid from 101, rv stays None
+    assert rows[12] == (101, None, 10)
+    assert rows[30] == (102, None, 25)
+    fwd = {
+        r.lts: (r.r_rid, r.r_rv)
+        for r in asof_join(
+            left, right, "k", "lts", "rts", right_cols=["rid", "rv"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[12] == (102, None)
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "lts": [1]}))
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, "k", "lts", "lts", right_cols=[], direction="nearest")
