@@ -93,8 +93,45 @@ def stage_inputs(spark, sf_dir: str, scale_input: bool = False) -> tuple[str, st
     return img_path, poly_path
 
 
-def run_flagship(spark, img_path: str, poly_path: str) -> tuple[int, float, int]:
-    """Returns (n_images, seconds, n_output_rows) for the timed pipeline."""
+def read_cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — cheap contention
+    telemetry. The sandbox host shows bursty hypervisor steal that can
+    triple a wall-time without any code change (r03-r05 observations:
+    identical flagship oscillates 6.9s <-> 24.9s between consecutive runs
+    while a null CPU job stays fast)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except OSError:
+        return 0, 0
+
+
+def null_probe(spark) -> float:
+    """Best-of-2 zero-I/O JVM arithmetic timing (same kernel as
+    tools/null_scaling.py, smaller): a healthy host runs this in ~0.4s at
+    local[32]; a contended window inflates it proportionally, so the bench
+    JSON carries its own calibration."""
+    from pyspark.sql import functions as F
+
+    from fs2_osm_spark.functions.hex import hex_cell
+
+    rng = spark.range(0, 160_000_000, 1, 64)
+    lon = (F.col("id") % 1000000) / 1000000.0 * 8 + 7
+    lat = (F.col("id") % 999983) / 999983.0 * 4 + 51
+    df = rng.select(hex_cell(lon, lat, 8).alias("c"))
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        df.agg(F.max("c")).collect()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
+
+def run_flagship(spark, img_path: str, poly_path: str) -> tuple[int, float, float, int]:
+    """Returns (n_images, cold_sec, warm_sec, n_output_rows)."""
     from fs2_osm_spark.plans.flagship import flagship_from_tables, prepare_corpus
 
     images = spark.read.parquet(img_path)
@@ -104,15 +141,18 @@ def run_flagship(spark, img_path: str, poly_path: str) -> tuple[int, float, int]
     # once per job like the corpus itself; the timed section is the
     # steady-state per-image pipeline
     corpus = prepare_corpus(spark, spark.read.parquet(poly_path))
-    # three timed runs, best-of: the first pays JVM JIT warm-up, which a
-    # long-running cluster job amortizes away
-    best = None
+    # three timed runs, report (cold, best-of-warm): the first pays JVM JIT
+    # warm-up AND the page-cache cold read of the pruned columns — a
+    # long-running cluster job amortizes both away. Recording the cold pass
+    # separately (instead of folding it into best-of) is the r04 lesson:
+    # two rounds recorded phantom 2.6x "regressions" that were evicted page
+    # cache, not code.
+    runs = []
     for _ in range(3):
         t0 = time.time()
         out_rows = flagship_from_tables(images, corpus).count()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-    return n_images, best, out_rows
+        runs.append(time.time() - t0)
+    return n_images, runs[0], min(runs[1:]), out_rows
 
 
 def main() -> None:
@@ -140,9 +180,37 @@ def main() -> None:
     if args.stage_only:
         print(json.dumps({"staged": [img_path, poly_path]}))
         return
-    n_images, flagship_sec, out_rows = run_flagship(spark, img_path, poly_path)
+    stat0 = read_cpu_stat()
+    n_images, flagship_cold, flagship_sec, out_rows = run_flagship(
+        spark, img_path, poly_path
+    )
+    stat1 = read_cpu_stat()
+    steal_pct = (
+        round(100.0 * (stat1[1] - stat0[1]) / max(1, stat1[0] - stat0[0]), 2)
+        if stat1[0] > stat0[0]
+        else None
+    )
+    probe_sec = null_probe(spark)
 
+    # `timings` holds warm (steady-state) numbers — the figure of merit for
+    # a long-running cluster job; `timings_cold` records each query's first
+    # pass so a cold-read artifact is visible instead of masquerading as a
+    # regression (r03/r04 lesson: page-cache eviction cost two rounds a
+    # false 2.6x flagship scare).
     timings: dict[str, float] = {"flagship_spatial_join": round(flagship_sec, 3)}
+    timings_cold: dict[str, float] = {"flagship_spatial_join": round(flagship_cold, 3)}
+
+    def timed(name: str, thunk) -> int:
+        """best-of-2: run twice, record cold + warm, return last result."""
+        t0 = time.time()
+        res = thunk()
+        cold = time.time() - t0
+        t0 = time.time()
+        res = thunk()
+        warm = time.time() - t0
+        timings_cold[name] = round(cold, 3)
+        timings[name] = round(min(cold, warm), 3)
+        return res
     if not args.flagship_only:
         # strategy comparison on the same join:
         # - cell_join: shuffle-partitioned cell equi-join + JVM refine (the
@@ -161,12 +229,13 @@ def main() -> None:
         images = spark.read.parquet(img_path)
         polys = spark.read.parquet(poly_path)
         pts = geotag(images).select("image_id", "lon", "lat")
-        t0 = time.time()
-        cell_rows = cell_pip_join(
-            pts, polys, res=8, lon_col="lon", lat_col="lat",
-            point_keep=["image_id"],
-        ).count()
-        timings["flagship_cell_join_strategy"] = round(time.time() - t0, 3)
+        cell_rows = timed(
+            "flagship_cell_join_strategy",
+            lambda: cell_pip_join(
+                pts, polys, res=8, lon_col="lon", lat_col="lat",
+                point_keep=["image_id"],
+            ).count(),
+        )
         assert cell_rows == out_rows, (cell_rows, out_rows)
 
         rows = polys.collect()
@@ -175,17 +244,14 @@ def main() -> None:
             outers=[np.asarray(r.outer) for r in rows],
             inners=[[np.asarray(h) for h in (r.inners or [])] for r in rows],
         )
-        t0 = time.time()
-        arrow_rows = broadcast_pip_join(
-            pts, ps, "lon", "lat", ["image_id"]
-        ).count()
-        timings["flagship_arrow_baseline"] = round(time.time() - t0, 3)
+        arrow_rows = timed(
+            "flagship_arrow_baseline",
+            lambda: broadcast_pip_join(pts, ps, "lon", "lat", ["image_id"]).count(),
+        )
         assert arrow_rows == out_rows, (arrow_rows, out_rows)
         for name in HEADLINE:
             q = QUERIES[name]
-            t0 = time.time()
-            q.fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+            timed(name, lambda q=q: q.fn(spark, sf_dir).count())
         # free the dedup operators' lazy plan-pins between bench sections
         # (cached blocks otherwise accumulate for the rest of the session)
         from fs2_osm_spark.operators.dedup import release_pins
@@ -202,6 +268,9 @@ def main() -> None:
 
         pbf_root = tempfile.mkdtemp(prefix="bench_pbf_")
         write_osm_pbf(spark, os.path.join(pbf_root, "pbf"), 512, 32).collect()
+        # single pass by design: the lifecycle WRITES its output (a second
+        # run would mostly measure resume short-circuits) and its input is
+        # generated in-session, so it has no cold-read exposure
         t0 = time.time()
         run_pbf_pipeline(
             spark, os.path.join(pbf_root, "pbf"), os.path.join(pbf_root, "out"),
@@ -213,11 +282,21 @@ def main() -> None:
         "metric": "spatial-join + tile-assignment throughput",
         "value": round(n_images / flagship_sec, 1),
         "unit": "images/sec",
+        "timing": "warm (best-of-2+; first pass recorded in queries_cold)",
         "queries": timings,
+        "queries_cold": timings_cold,
+        "value_cold": round(n_images / flagship_cold, 1),
         "sf": sf_of(sf_dir),
         "n_images": n_images,
         "join_rows": out_rows,
         "cpus": cpus,
+        "host": {
+            # calibration so a contended window reads as contention, not a
+            # code regression: steal% during the flagship timing + the
+            # zero-I/O JVM arithmetic probe (healthy ~0.4s at local[32])
+            "steal_pct_during_flagship": steal_pct,
+            "null_probe_sec": round(probe_sec, 3),
+        },
         "scaling": load_scaling_evidence(),
     }
     print(json.dumps(result))

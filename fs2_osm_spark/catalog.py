@@ -52,11 +52,25 @@ def _iceberg_catalog() -> str:
     return os.environ.get("FS2_OSM_ICEBERG_CATALOG", "lake")
 
 
+# sanitization is lossy (a-b, a.b, a_b all map to a_b), so remember which
+# base path first claimed each identifier and refuse a second, different one
+_IDENT_CLAIMS: dict[str, str] = {}
+
+
 def _iceberg_ident(path: str) -> str:
     # lake layout <root>/<table> -> <catalog>.<namespace>.<table>
     base_path, _ = _split_batch(path)
-    table = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(base_path.rstrip("/")))
-    return f"{_iceberg_catalog()}.db.{table}"
+    base_path = base_path.rstrip("/")
+    table = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(base_path))
+    ident = f"{_iceberg_catalog()}.db.{table}"
+    claimed = _IDENT_CLAIMS.setdefault(ident, base_path)
+    if claimed != base_path:
+        raise ValueError(
+            f"iceberg identifier collision: {ident!r} already maps to "
+            f"{claimed!r}, refusing to alias {base_path!r} onto it "
+            "(distinct table paths would read/write each other's data)"
+        )
+    return ident
 
 
 def _require_catalog(df: DataFrame) -> None:

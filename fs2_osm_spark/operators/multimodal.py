@@ -31,6 +31,14 @@ from fs2_osm_spark.codecs.png import (
 CAPTION_COORD_RE = r"at (-?\d+\.\d+),(-?\d+\.\d+)"
 
 
+def hamming64(a: int, b: int) -> int:
+    """Two's-complement 64-bit Hamming distance between signed int64
+    hashes. The mask matters: ``bin(a ^ b).count('1')`` on a negative XOR
+    counts magnitude bits, so a sign-bit-only difference (true distance 1)
+    would read as 63 without it."""
+    return ((int(a) ^ int(b)) & ((1 << 64) - 1)).bit_count()
+
+
 def caption_lat(caption: Column) -> Column:
     return F.regexp_extract(caption, CAPTION_COORD_RE, 1).cast("double")
 
@@ -82,7 +90,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 flat = img.reshape(-1, 3).astype(np.float64)
                 means = flat.mean(axis=0)
                 stds = flat.std(axis=0)
-                dist = bin(phash64(img) ^ r.phash).count("1")
+                dist = hamming64(phash64(img), r.phash)
                 ph_ok = dist == 0 if r.fmt == "png" else dist <= PHASH_LOSSY_TOLERANCE
                 rows.append(
                     (

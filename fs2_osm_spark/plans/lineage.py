@@ -54,7 +54,12 @@ class LineageLog:
         # filesystem path; other formats fall through to the try/except.
         from fs2_osm_spark.catalog import table_format
 
-        if table_format() == "parquet" and not os.path.exists(self.dir):
+        # The os.path fast-path only means anything for scheme-less local
+        # paths — for hdfs:// or s3a:// roots it would always be False and
+        # silently read a populated lineage log as empty (re-running every
+        # batch). Non-local roots fall through to the Spark read.
+        is_local = "://" not in self.dir
+        if table_format() == "parquet" and is_local and not os.path.exists(self.dir):
             return set()
         try:
             df = read_table(self.spark, self.dir)

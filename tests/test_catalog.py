@@ -42,6 +42,23 @@ def test_iceberg_ident_sanitizes_and_honors_env(monkeypatch):
     assert _iceberg_ident("/tmp/r/ways-nodes.v2") == "prod_lake.db.ways_nodes_v2"
 
 
+def test_iceberg_ident_rejects_lossy_collisions(monkeypatch):
+    # sanitization maps a-b, a.b, a_b onto the same identifier — the first
+    # path claims it; aliasing a DIFFERENT path onto it must raise instead
+    # of silently sharing table data
+    monkeypatch.delenv("FS2_OSM_ICEBERG_CATALOG", raising=False)
+    from fs2_osm_spark import catalog
+
+    monkeypatch.setattr(catalog, "_IDENT_CLAIMS", {})
+    assert _iceberg_ident("/tmp/c/a-b") == "lake.db.a_b"
+    assert _iceberg_ident("/tmp/c/a-b") == "lake.db.a_b"  # same path: fine
+    assert _iceberg_ident("/tmp/c/a-b/batch=7") == "lake.db.a_b"  # same table
+    with pytest.raises(ValueError, match="collision"):
+        _iceberg_ident("/tmp/c/a.b")
+    with pytest.raises(ValueError, match="collision"):
+        _iceberg_ident("/tmp/c/a_b")
+
+
 def test_iceberg_guard_uses_env_catalog_name(spark, monkeypatch):
     """The fail-fast guard must check spark.sql.catalog.<env name>, not a
     hardcoded 'lake' — a non-default catalog previously always tripped."""

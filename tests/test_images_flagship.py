@@ -80,6 +80,24 @@ def test_phash_deterministic_and_locality():
     assert diff <= 4
 
 
+def test_hamming64_sign_bit():
+    """Signed-int64 hashes with only bit 63 differing: true distance 1.
+
+    An unmasked bin(a ^ b).count('1') reads 63 here — the latent bug fixed
+    in decode_stats' phash check (advice r04)."""
+    from fs2_osm_spark.operators.multimodal import hamming64
+
+    a = 0x0123456789ABCDEF
+    b = np.int64(np.uint64(a) ^ np.uint64(1 << 63))  # sign bit flipped
+    assert int(b) < 0
+    assert hamming64(a, int(b)) == 1
+    assert hamming64(int(b), a) == 1
+    assert hamming64(a, a) == 0
+    assert hamming64(-1, 0) == 64
+    # numpy scalars (what pandas itertuples yields) work unchanged
+    assert hamming64(np.int64(a), b) == 1
+
+
 # ----------------------------------------------------------- synthesis -----
 def test_generate_batch_deterministic():
     ids = np.arange(50, dtype=np.int64)

@@ -51,27 +51,34 @@ def canonical_nodes(df) -> list[str]:
     return nodes
 
 
-# The benched plan (bench.py run_flagship: parquet scan -> prepare_corpus
-# cover -> apply_cell_pip -> hex/tile projection). Shape notes:
-# - ONE image-side scan, NO Exchange anywhere on the image path (both the
-#   cell-cover attach and the ring refine are broadcast hash joins)
-# - no Python eval nodes (geotag/PIP/hex/tile are all Catalyst expressions)
-# - the interior-cell fast path folds into the joins' filter/project
-EXPECTED_COVER_PLAN = [
-    "AdaptiveSparkPlan",
-    "Project",                  # hex cell + tile_x/tile_y projection
-    "BroadcastHashJoin",        # boundary-candidate ray-cast refine
-    "Project",
-    "BroadcastHashJoin",        # (cell -> cover) attach, interior short-circuit
-    "Filter",
-    "Project",                  # geotag regexp + cell derivation
-    "Filter",
-    "FileScan",                 # images parquet: pruned columns only
-    "BroadcastExchange",
-    "LocalTableScan",           # cover (driver-built, tiny)
-    "BroadcastExchange",
-    "LocalTableScan",           # rings for boundary refine (tiny)
-]
+def assert_flagship_plan_properties(nodes: list[str]) -> None:
+    """The benched plan's load-bearing properties (bench.py run_flagship:
+    parquet scan -> prepare_corpus cover -> apply_cell_pip -> hex/tile
+    projection). Asserted as PROPERTIES, not an exact node list, because
+    Catalyst's Filter placement varies with conf (runtime-filter /
+    pushdown settings) while these invariants must not:
+
+    - exactly ONE image-side FileScan with pruned columns
+    - exactly TWO BroadcastHashJoins (cell-cover attach + ray-cast refine)
+    - NO shuffle Exchange anywhere on the image path (the only exchanges
+      are the two tiny BroadcastExchanges feeding the joins)
+    - NO Python eval nodes (geotag/PIP/hex/tile are Catalyst expressions)
+    - no sort-merge or nested-loop fallback
+    """
+    counts = {n: nodes.count(n) for n in set(nodes)}
+    assert counts.get("FileScan", 0) == 1, nodes
+    assert counts.get("BroadcastHashJoin", 0) == 2, nodes
+    assert counts.get("BroadcastExchange", 0) == 2, nodes
+    # "Exchange" alone is Spark's shuffle node; BroadcastExchange is distinct
+    assert counts.get("Exchange", 0) == 0, nodes
+    assert counts.get("ShuffleExchange", 0) == 0, nodes
+    assert counts.get("SortMergeJoin", 0) == 0, nodes
+    assert counts.get("BroadcastNestedLoopJoin", 0) == 0, nodes
+    assert counts.get("CartesianProduct", 0) == 0, nodes
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas", "PythonMapInArrow"):
+        assert counts.get(py_node, 0) == 0, (py_node, nodes)
+    assert counts.get("Sort", 0) == 0, nodes
 
 
 @pytest.mark.usefixtures("spark")
@@ -85,15 +92,12 @@ def test_flagship_cover_plan_fingerprint(spark):
         polygons = spark.createDataFrame(POLYGONS, POLY_SCHEMA)
         cover = prepare_corpus(spark, polygons)
         got = canonical_nodes(flagship_from_tables(images, cover))
-    assert got == EXPECTED_COVER_PLAN, (
-        "flagship plan shape changed — if intentional, update the "
-        f"fingerprint.\n got: {got}"
-    )
+    assert_flagship_plan_properties(got)
 
 
 def test_flagship_cover_fingerprint_scale_invariant(spark):
-    """The fingerprint must not depend on input size or file count —
-    otherwise it couldn't stand in for the sf0.1 bench plan."""
+    """The plan properties must not depend on input size or file count —
+    otherwise they couldn't stand in for the sf0.1 bench plan."""
     from fs2_osm_spark.plans.flagship import flagship_from_tables, prepare_corpus
     from fs2_osm_spark.synth.images import images_table
 
@@ -104,4 +108,4 @@ def test_flagship_cover_fingerprint_scale_invariant(spark):
         images = spark.read.parquet(f"{d}/img.parquet")
         cover = prepare_corpus(spark, spark.createDataFrame(POLYGONS, POLY_SCHEMA))
         got = canonical_nodes(flagship_from_tables(images, cover))
-    assert got == EXPECTED_COVER_PLAN, got
+    assert_flagship_plan_properties(got)
