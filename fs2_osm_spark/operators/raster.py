@@ -41,6 +41,24 @@ def tile_bounds(z: int, x: int, y: int) -> tuple[float, float, float, float]:
     return lon_min, lat_of(y + 1), lon_max, lat_of(y)
 
 
+def hot_city_tiles(z: int = 12) -> list[tuple[int, int]]:
+    """The z tiles containing the synthetic hot-city centers plus their
+    8-neighbors — the deterministic tile worklist shared by the
+    img_rasterize_vectorize query and its staged fixture oracle."""
+    from fs2_osm_spark.synth.images import CITIES
+
+    n = 1 << z
+    tiles = set()
+    for lon, lat in CITIES:
+        tx = int((lon + 180.0) / 360.0 * n)
+        lr = math.radians(lat)
+        ty = int((1 - math.log(math.tan(lr) + 1 / math.cos(lr)) / math.pi) / 2 * n)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tiles.add((tx + dx, ty + dy))
+    return sorted(tiles)
+
+
 def rasterize_mask(ps: PolygonSet, z: int, x: int, y: int, size: int = 64) -> np.ndarray:
     """Boolean size x size mask: pixel center inside any polygon."""
     lon_min, lat_min, lon_max, lat_max = tile_bounds(z, x, y)

@@ -6,8 +6,9 @@ the DuckDB twin reads those back while the Spark side recomputes them live.
 An anti-drift test recomputes the recorded columns from today's code, so a
 changed codec invalidates the fixture loudly instead of the oracle quietly.
 Invariants (PSNR >= 40 dB, caption equality, phash tolerance) are also
-asserted in tests/test_images_flagship.py. Only the flagship join (scale)
-and the rasterize round-trip remain rows-only."""
+asserted in tests/test_images_flagship.py. The rasterize round-trip is
+hard-oracled the same way (fixtures/raster_oracle.parquet, driver-side
+ground truth); only the flagship join (scale) remains rows-only."""
 
 from __future__ import annotations
 
@@ -260,34 +261,47 @@ def img_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("img_rasterize_vectorize", oracle=None)
+def _rasterize_oracle() -> str:
+    from fs2_osm_spark.synth.staging import RASTER_FIXTURE
+
+    return f"""
+    SELECT CAST(z AS BIGINT) AS z,
+           CAST(x AS BIGINT) AS x,
+           CAST(y AS BIGINT) AS y,
+           CAST(covered_px AS BIGINT) AS covered_px,
+           CAST(n_rings_vectorized AS BIGINT) AS n_rings_vectorized
+    FROM read_parquet('{RASTER_FIXTURE}')
+    """
+
+
+@register("img_rasterize_vectorize", oracle=_rasterize_oracle())
 def img_rasterize_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rasterize the OSM polygon corpus into z12 tile masks (PNG) and
     re-vectorize each mask in the same pass (north-star round trip).
-    Tiles = the z12 tiles containing the hot-city centers + neighbors."""
+    Tiles = the z12 tiles containing the hot-city centers + neighbors.
+    Hard-oracled against the staged fixture, whose ground truth is the
+    same kernels run DRIVER-SIDE in a plain loop — the comparison proves
+    the distributed plumbing (broadcast corpus, mapInPandas batching)
+    reproduces the sequential computation; kernel drift is caught by the
+    anti-drift recompute in tests/test_raster.py."""
     import pandas as pd
 
-    from fs2_osm_spark.functions.geo import MERCATOR_LAT_MAX  # noqa: F401
-    from fs2_osm_spark.operators.raster import rasterize_tiles
+    from fs2_osm_spark.operators.raster import hot_city_tiles, rasterize_tiles
     from fs2_osm_spark.plans.flagship import polygon_corpus
-    from fs2_osm_spark.synth.images import CITIES
-
-    import math
-
-    z = 12
-    n = 1 << z
-    tiles = set()
-    for lon, lat in CITIES:
-        tx = int((lon + 180.0) / 360.0 * n)
-        lr = math.radians(lat)
-        ty = int((1 - math.log(math.tan(lr) + 1 / math.cos(lr)) / math.pi) / 2 * n)
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                tiles.add((tx + dx, ty + dy))
-    tiles_df = spark.createDataFrame(
-        pd.DataFrame(sorted(tiles), columns=["x", "y"])
+    from fs2_osm_spark.synth.staging import (
+        RASTER_N_ZONES,
+        RASTER_SIZE,
+        RASTER_Z,
+        ensure_raster_fixture,
     )
-    ps = polygon_corpus(spark, 256)
-    return rasterize_tiles(tiles_df, ps, z, size=64).select(
-        "z", "x", "y", "covered_px", "n_rings_vectorized"
+
+    ensure_raster_fixture(spark)
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(hot_city_tiles(RASTER_Z), columns=["x", "y"])
+    )
+    ps = polygon_corpus(spark, RASTER_N_ZONES)
+    out = rasterize_tiles(tiles_df, ps, RASTER_Z, size=RASTER_SIZE)
+    return out.select(
+        *[F.col(c).cast("bigint").alias(c)
+          for c in ("z", "x", "y", "covered_px", "n_rings_vectorized")]
     )

@@ -1,7 +1,11 @@
-"""OSM-pipeline queries (rows-only driver checks; golden semantics are
-pinned by tests/test_decode_assembly.py against the reference's decode
-contract and stitching fixtures — these shapes aren't expressible over the
-DuckDB star views, so the driver records the weaker rows-only check)."""
+"""OSM-pipeline queries. The synthesized OSM world isn't visible through
+the DuckDB star views, so these were historically rows-only; round 5
+staged the deterministic 256-zone tables as fixtures/osm_256 parquet,
+which lets DuckDB REIMPLEMENT the assembly semantics in independent SQL
+(osm_lines_assembly, osm_simple_polygons; geom_stats_osm_lines in
+geom_q.py). Golden decode semantics stay pinned by
+tests/test_decode_assembly.py; wire-decode streams whose payloads aren't
+dtype-stable scalars remain rows-only."""
 
 from __future__ import annotations
 
@@ -43,19 +47,109 @@ def osm_dense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _driver_safe_tags(decode_dense_blocks(blocks))
 
 
-@register("osm_lines_assembly", oracle=None)
+def _fixture_pts_cte() -> str:
+    """Shared CTE body: way vertices resolved + ordered from the staged OSM
+    fixture (the DuckDB-visible twin of posexplode + resolve join)."""
+    from fs2_osm_spark.synth.staging import osm_fixture_path
+
+    return f"""
+    SELECT wn.way_id, wn.idx, n.lon, n.lat
+    FROM read_parquet('{osm_fixture_path("ways_nodes")}') wn
+    JOIN read_parquet('{osm_fixture_path("nodes")}') n ON wn.node_id = n.osm_id
+    """
+
+
+# Spark: (c * 1e6).cast(bigint) truncates toward zero; DuckDB trunc() is
+# also toward-zero, so the quantized closure test matches bit-for-bit.
+_Q = "CAST(trunc({v} * 1000000.0) AS BIGINT)"
+
+
+def _lines_assembly_oracle() -> str:
+    qfl = _Q.format(v="arg_min(lon, idx)")
+    qll = _Q.format(v="arg_max(lon, idx)")
+    qft = _Q.format(v="arg_min(lat, idx)")
+    qlt = _Q.format(v="arg_max(lat, idx)")
+    return f"""
+    WITH pts AS ({_fixture_pts_cte()})
+    SELECT way_id,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           ({qfl} = {qll} AND {qft} = {qlt}) AS is_closed
+    FROM pts GROUP BY way_id
+    """
+
+
+@register("osm_lines_assembly", oracle=_lines_assembly_oracle())
 def osm_lines_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """osm_lines: posexplode + join + ordered collect -> packed coords (R1-R4)."""
+    """osm_lines: posexplode + join + ordered collect -> packed coords
+    (R1-R4). Hard-oracled (r05): DuckDB re-derives n_pts and the 1e-6
+    quantized closure INDEPENDENTLY from the staged fixture tables
+    (fixtures/osm_256) — both engines assemble from the raw rows, nothing
+    is recorded. Fixture == live synth is pinned by the anti-drift test."""
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture
+
+    ensure_osm_fixture(spark)
     t = osm_tables(spark, N_ZONES)
     lines = build_osm_lines(t["ways"], t["nodes"])
-    return lines.select("way_id", "n_pts", "is_closed")
+    return lines.select(
+        "way_id", F.col("n_pts").cast("bigint").alias("n_pts"), "is_closed"
+    )
 
 
-@register("osm_simple_polygons", oracle=None)
+def _simple_polygons_oracle() -> str:
+    from fs2_osm_spark.operators.assembly import POLYGON_KEYS, POLYGON_VALUE_IN
+    from fs2_osm_spark.synth.staging import osm_fixture_path
+
+    keys = ", ".join(f"'{k}'" for k in POLYGON_KEYS)
+    val_conds = " OR ".join(
+        "(key = '{k}' AND value IN ({vs}))".format(
+            k=k, vs=", ".join(f"'{v}'" for v in vs)
+        )
+        for k, vs in POLYGON_VALUE_IN.items()
+    )
+    tags = osm_fixture_path("way_tags")
+    qfl = _Q.format(v="arg_min(lon, idx)")
+    qll = _Q.format(v="arg_max(lon, idx)")
+    qft = _Q.format(v="arg_min(lat, idx)")
+    qlt = _Q.format(v="arg_max(lat, idx)")
+    return f"""
+    WITH pts AS ({_fixture_pts_cte()}),
+    lines AS (
+        SELECT way_id,
+               CAST(count(*) AS BIGINT) AS n_pts,
+               ({qfl} = {qll} AND {qft} = {qlt}) AS is_closed
+        FROM pts GROUP BY way_id
+    ),
+    keyed AS (
+        SELECT DISTINCT way_id FROM read_parquet('{tags}')
+        WHERE key IN ({keys}) OR {val_conds}
+    )
+    SELECT l.way_id AS polygon_id,
+           CAST(2 * l.n_pts AS BIGINT) AS n_coords
+    FROM lines l JOIN keyed k ON l.way_id = k.way_id
+    WHERE l.is_closed
+      AND l.way_id NOT IN (
+          SELECT way_id FROM read_parquet('{tags}')
+          WHERE key = 'area' AND value = 'no'
+      )
+    """
+
+
+@register("osm_simple_polygons", oracle=_simple_polygons_oracle())
 def osm_simple_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `polygons` table (closed ways + exact tag
+    whitelist). Hard-oracled (r05): the DuckDB twin re-applies the
+    whitelist — generated from the SAME POLYGON_KEYS / POLYGON_VALUE_IN
+    constants, so the predicate can't drift in one place only — plus the
+    quantized-closure filter, independently in SQL over the staged
+    fixture."""
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture
+
+    ensure_osm_fixture(spark)
     t = osm_tables(spark, N_ZONES)
     lines = build_osm_lines(t["ways"], t["nodes"])
-    return simple_polygons(lines).select("polygon_id", F.size("outer").alias("n_coords"))
+    return simple_polygons(lines).select(
+        "polygon_id", F.size("outer").cast("bigint").alias("n_coords")
+    )
 
 
 @register("osm_multipolygons", oracle=None)

@@ -46,82 +46,75 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-sample priority: the correctness driver runs the FIRST ~50 entries
-# of queries() in iteration order (proven in rounds 1-3). Rotation rule for
-# round 4: (a) never driver-sampled, (b) newest green row is r01 (three
-# rounds stale — most urgent), (c) operators changed this round (as-of
-# struct carry, decode-stats oracle + phash tolerance, vectorized resize,
-# persist pins in dedup, catalog/lineage routing), (d) newest green row is
-# r02, hard-oracled first, rows-only after (61 candidates chase ~50 slots;
-# a rows-only row is the weaker evidence, so it is what goes stale).
-# Freshly-green r03 queries fall to the back — their rows stand.
+# of queries() in iteration order (proven in rounds 1-4). Rotation rule for
+# round 5: (a) operators changed this round (rasterize round-trip newly
+# hard-oracled, decode-stats phash popcount fix, lineage completed() guard),
+# (b) newest green row is r02 (three rounds stale — most urgent; all
+# rows-only), (c) newest green row is r03, hard-oracled first so
+# r03∪r04∪r05 leaves no oracled query older than two rounds, (d) r03
+# rows-only. Freshly-green r04 queries fall to the back — their rows stand.
 PRIORITY: list[str] = [
-    # (a) never driver-sampled
-    "temporal_asof_forward",
-    # (b) newest green row is r01
-    "agg_pricing_summary",
-    "topk_window",
-    "r25_limit_take",
-    "r27_dedupe_keep_first",
-    "r28_union_all",
-    "r29_kind_default",
+    # (a) changed in round 5 (newly hard-oracled / code touched)
+    "img_rasterize_vectorize",
     "osm_lines_assembly",
     "osm_simple_polygons",
-    # (c) changed in round 4
-    "temporal_asof_join",
+    "geom_stats_osm_lines",
     "img_decode_stats",
-    "img_decode_dims",
-    "img_resize",
-    "img_resize_stats",
-    "img_pixel_roundtrip",
-    "img_frame_sample",
-    "dedup_lsh_pairs",
-    "dedup_minhash_fast",
-    "dedup_simhash_fast",
-    "dedup_simhash_multiprobe",
     "lineage_batched_resume",
-    # (d) newest green row is r02 — hard-oracled
-    "agg_cube",
-    "agg_percentiles",
-    "agg_rollup",
-    "d6_summary_fold",
-    "dedup_cc_clusters",
-    "geo_hex_cell_equalarea",
-    "geo_pip_broadcast_join",
-    "geo_pip_cell_join",
-    "geom_centroid",
-    "geom_line_length",
-    "geom_polygon_area",
-    "osm_decode_semantics_oracle",
-    "part_hilbert_key",
-    "r11_derived_reuse",
-    "r21_collect_members",
-    "r22_dump_parts",
-    "r23_type_filter",
-    "r_anti_join",
-    "r_left_outer_join",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "stream_dedupe",
-    "stream_multirollup",
-    "stream_sessionize",
-    "stream_static_join",
-    "stream_windowed_counts",
-    "tpch_q10_returned_items",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    # (d) newest green row is r02 — rows-only, highest-value first
+    # (b) newest green row is r02 (rows-only)
     "img_flagship_spatial_join",
     "osm_export_summary",
     "osm_feature_catalog",
-    "img_rasterize_vectorize",
     "geo_s2_cell_assignment",
-    "geom_stats_osm_lines",
     "osm_dense_decode",
     "osm_dense_info_decode",
     "osm_frame_source_decode",
     "osm_multipolygons",
     "osm_relation_frame_decode",
     "osm_way_frame_decode",
+    # (c) newest green row is r03 — hard-oracled
+    "dedup_exact",
+    "dedup_jaccard_verify",
+    "dedup_minhash_signatures",
+    "dedup_simhash16",
+    "geo_hex_cell_assignment",
+    "geo_hex_cell_histogram",
+    "geo_hex_parent",
+    "geo_knn_haversine",
+    "geo_knn_kring",
+    "geo_knn_kring_ea",
+    "geo_kring_expansion",
+    "geo_quadkey",
+    "geo_quantized_equality",
+    "geo_tile_assignment",
+    "img_geotag_cells",
+    "r01_ordered_assembly",
+    "r01_posexplode",
+    "r02_resolve_join",
+    "r05_tag_equality",
+    "r06_presence_predicate",
+    "r07_in_list",
+    "r08_null_tolerant_bool",
+    "r09_closure_filter",
+    "r10_typed_projection",
+    "r15_join_chain",
+    "r20_min_vertex",
+    "r24_semi_join",
+    "sim_bucket_ann",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize",
+    "sim_kmeans_assign",
+    "sim_lsh_buckets",
+    "temporal_range_join",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    # (d) newest green row is r03 — rows-only
+    "sim_ivf_ann",
+    "sim_kmeans_clusters",
 ]
 
 

@@ -87,6 +87,126 @@ def derived_image_columns(pdf) -> dict[str, object]:
     }
 
 
+OSM_FIXTURE_DIR = os.path.join(_REPO_ROOT, "fixtures", "osm_256")
+OSM_FIXTURE_ZONES = 256
+
+
+def osm_fixture_path(table: str) -> str:
+    return os.path.join(OSM_FIXTURE_DIR, f"{table}.parquet")
+
+
+def ensure_osm_fixture(spark) -> str:
+    """Stage the deterministic synthetic OSM world (osm_tables at 256
+    zones, the scale the osm_* registry queries run at) as SQL-friendly
+    parquet: nodes, ways, exploded ways_nodes(way_id, idx, node_id) and
+    way_tags(way_id, key, value). This lets DuckDB oracles REIMPLEMENT the
+    assembly semantics (ordered collect, 1e-6 quantized closure, polygon
+    whitelist, haversine/shoelace kernels) in independent SQL over the
+    same rows — a stronger check than fixture-recorded outputs, because
+    both engines derive the answer from the raw tables separately.
+
+    One recorded column rides along: geom_extra.parquet carries
+    n_points_simplified per way (Douglas-Peucker is iterative — no SQL
+    twin), computed driver-side at staging time from the fixture rows and
+    defended by the anti-drift test in tests/test_osm_fixture_oracles.py.
+    """
+    if not os.path.exists(osm_fixture_path("geom_extra")):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fs2_osm_spark.functions.geom_ops import simplify_dp
+        from fs2_osm_spark.synth.osm import osm_tables
+
+        os.makedirs(OSM_FIXTURE_DIR, exist_ok=True)
+        t = osm_tables(spark, OSM_FIXTURE_ZONES)
+        nodes = (
+            t["nodes"].select("osm_id", "lon", "lat", "name")
+            .toPandas().sort_values("osm_id").reset_index(drop=True)
+        )
+        ways_pdf = t["ways"].toPandas().sort_values("osm_id").reset_index(drop=True)
+        ways = ways_pdf[["osm_id", "name"]]
+        wn_rows, tag_rows = [], []
+        for r in ways_pdf.itertuples():
+            for i, nid in enumerate(r.nodes):
+                wn_rows.append((r.osm_id, i, int(nid)))
+            for k in sorted(r.tags):
+                tag_rows.append((r.osm_id, k, r.tags[k]))
+        import pandas as pd
+
+        ways_nodes = pd.DataFrame(wn_rows, columns=["way_id", "idx", "node_id"])
+        way_tags = pd.DataFrame(tag_rows, columns=["way_id", "key", "value"])
+
+        # recorded column: n_points_simplified (DP tol 1e-4) per assembled
+        # way geometry, computed driver-side from the SAME fixture rows
+        coord = nodes.set_index("osm_id")[["lon", "lat"]]
+        extra_rows = []
+        for way_id, grp in ways_nodes.groupby("way_id"):
+            ids = grp.sort_values("idx")["node_id"]
+            pts = coord.reindex(ids).dropna().to_numpy()
+            if not len(pts):
+                continue
+            geom = pts.reshape(-1)
+            extra_rows.append((way_id, len(simplify_dp(geom, 1e-4)) // 2))
+        geom_extra = pd.DataFrame(
+            extra_rows, columns=["way_id", "n_points_simplified"]
+        )
+
+        for name, pdf in (
+            ("nodes", nodes), ("ways", ways), ("ways_nodes", ways_nodes),
+            ("way_tags", way_tags), ("geom_extra", geom_extra),
+        ):
+            tmp = osm_fixture_path(name) + ".tmp"
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+            os.replace(tmp, osm_fixture_path(name))
+    return OSM_FIXTURE_DIR
+
+
+RASTER_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "raster_oracle.parquet")
+RASTER_N_ZONES = 256
+RASTER_Z = 12
+RASTER_SIZE = 64
+
+
+def ensure_raster_fixture(spark) -> str:
+    """Ground truth for img_rasterize_vectorize: per hot-city z12 tile, the
+    covered-pixel count and re-vectorized ring count, computed DRIVER-SIDE
+    (plain numpy loop over the collected polygon corpus — no mapInPandas,
+    no broadcast) with the same rasterize/vectorize kernels the distributed
+    query runs. The oracle therefore proves the Spark plumbing (tile
+    partitioning, corpus broadcast, Arrow batching) reproduces the
+    driver-side computation exactly; kernel drift is caught loudly by the
+    anti-drift test in tests/test_raster.py which recomputes a sample at
+    test time against the committed fixture."""
+    if not os.path.exists(RASTER_FIXTURE):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fs2_osm_spark.operators.raster import (
+            hot_city_tiles,
+            rasterize_mask,
+            vectorize_mask,
+        )
+        from fs2_osm_spark.plans.flagship import polygon_corpus
+
+        ps = polygon_corpus(spark, RASTER_N_ZONES)
+        rows = []
+        for x, y in hot_city_tiles(RASTER_Z):
+            mask = rasterize_mask(ps, RASTER_Z, x, y, RASTER_SIZE)
+            rings = vectorize_mask(mask, RASTER_Z, x, y)
+            rows.append((RASTER_Z, x, y, int(mask.sum()), len(rings)))
+        tbl = pa.Table.from_arrays(
+            [pa.array([r[i] for r in rows],
+                      type=pa.int32() if i in (0, 4) else pa.int64())
+             for i in range(5)],
+            names=["z", "x", "y", "covered_px", "n_rings_vectorized"],
+        )
+        os.makedirs(os.path.dirname(RASTER_FIXTURE), exist_ok=True)
+        tmp = RASTER_FIXTURE + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, RASTER_FIXTURE)
+    return RASTER_FIXTURE
+
+
 def ensure_images_fixture() -> str:
     """Write the staged image corpus if absent; return its absolute path."""
     if not os.path.exists(IMAGES_FIXTURE):

@@ -88,3 +88,33 @@ def test_rasterize_tiles_distributed(spark):
     assert out[(X, Y)].n_rings_vectorized == 1
     assert out[(X + 1, Y)].covered_px == 0
     assert png_to_mask(bytes(out[(X, Y)].png)).sum() == out[(X, Y)].covered_px
+
+
+def test_raster_fixture_anti_drift(spark):
+    """The committed fixture's ground truth must match what TODAY'S kernels
+    compute — a changed rasterizer/vectorizer invalidates the fixture
+    loudly here instead of the img_rasterize_vectorize oracle quietly."""
+    import pyarrow.parquet as pq
+
+    from fs2_osm_spark.operators.raster import hot_city_tiles
+    from fs2_osm_spark.plans.flagship import polygon_corpus
+    from fs2_osm_spark.synth.staging import (
+        RASTER_N_ZONES,
+        RASTER_SIZE,
+        RASTER_Z,
+        ensure_raster_fixture,
+    )
+
+    tbl = pq.read_table(ensure_raster_fixture(spark)).to_pandas()
+    assert list(map(tuple, tbl[["x", "y"]].values)) == hot_city_tiles(RASTER_Z)
+    ps = polygon_corpus(spark, RASTER_N_ZONES)
+    # recompute a deterministic sample (first/middle/last tile) live
+    for k in (0, len(tbl) // 2, len(tbl) - 1):
+        r = tbl.iloc[k]
+        mask = rasterize_mask(ps, RASTER_Z, int(r.x), int(r.y), RASTER_SIZE)
+        rings = vectorize_mask(mask, RASTER_Z, int(r.x), int(r.y))
+        assert int(mask.sum()) == int(r.covered_px), (r.x, r.y)
+        assert len(rings) == int(r.n_rings_vectorized), (r.x, r.y)
+    # the hot-city center tiles must actually be covered (independent
+    # sanity: cities sit inside the synthetic polygon corpus)
+    assert (tbl.covered_px > 0).any()

@@ -43,6 +43,13 @@ def main() -> int:
         else:
             mode = "rows-only" if q.oracle is None else "oracle"
             print(f"ok   {name} [{mode}] ({dt:.1f}s)")
+        if name.startswith("dedup_"):
+            # the dedup operators pin small intermediate plans with
+            # .persist(); release them between queries so a 103-query
+            # session's storage memory stays flat instead of accumulating
+            from fs2_osm_spark.operators.dedup import release_pins
+
+            release_pins()
 
     print(f"\n{len(QUERIES)} queries, {len(failures)} failures: {failures}")
     return 1 if failures else 0
