@@ -40,9 +40,44 @@ def _driver_safe_tags(df: DataFrame) -> DataFrame:
     return df.select(*others, tags_json)
 
 
-@register("osm_dense_decode", oracle=None)
+def _dense_decode_oracle() -> str:
+    """Hand-derived expectation for the golden dense blocks (the inputs are
+    hand-built, so the decode contract's answer is known by construction —
+    fully independent of the decoder). Coordinates are written as the SAME
+    double arithmetic `1e-9 * (offset + granularity * running_sum)` over
+    exact integer literals, so both engines produce bit-identical floats.
+
+    block 0: ids cumsum 42,43,45; g=100, offsets 0; node 42 tagged
+    {amenity: cafe}. block 1: ids cumsum 7,10; g=200, lat_off 5e8,
+    lon_off -3e8."""
+    rows = [
+        # (osm_id, lon_off, g, lon_sum, lat_off, lat_sum, tags_json)
+        (42, 0, 100, 100000000, 0, 530000000, '{"amenity":"cafe"}'),
+        (43, 0, 100, 105000000, 0, 540000000, "{}"),
+        (45, 0, 100, 106000000, 0, 542000000, "{}"),
+        (7, -300000000, 200, 10000000, 500000000, 10000000, "{}"),
+        (10, -300000000, 200, 10000005, 500000000, 10000000, "{}"),
+    ]
+    values = ",\n        ".join(
+        f"(CAST({i} AS BIGINT),"
+        f" 1e-9 * ({lo} + {g} * CAST({ls} AS BIGINT)),"
+        f" 1e-9 * ({to} + {g} * CAST({ts} AS BIGINT)),"
+        f" CAST(NULL AS VARCHAR), '{tj}')"
+        for i, lo, g, ls, to, ts, tj in rows
+    )
+    return f"""
+    SELECT * FROM (VALUES
+        {values}
+    ) AS t(osm_id, lon, lat, name, tags_json)
+    """
+
+
+@register("osm_dense_decode", oracle=_dense_decode_oracle())
 def osm_dense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PBF dense-node decode kernel (S5-S10) over the golden encoded blocks."""
+    """PBF dense-node decode kernel (S5-S10) over the golden encoded
+    blocks. Hard-oracled (r05) against hand-derived VALUES — the golden
+    inputs are hand-built, so the expected ids/coords/tags are known by
+    construction (DenseNodeStreamSpec.scala:22-76 semantics)."""
     blocks = spark.createDataFrame(golden_dense_blocks())
     return _driver_safe_tags(decode_dense_blocks(blocks))
 
@@ -192,12 +227,28 @@ def osm_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_feature
 
 
-@register("osm_frame_source_decode", oracle=None)
+def _frame_source_oracle() -> str:
+    """Closed-form expansion of the framed fixture below: ids are deltas
+    1..100 (cumsum k(k+1)/2), lat deltas [5e8]+[1e6]*99, lon deltas
+    [8e7]+[1e6]*99, granularity 100, every node tagged highway=residential.
+    Double formulas mirror the decoder's exact int arithmetic."""
+    return """
+    SELECT CAST(((i + 1) * (i + 2)) // 2 AS BIGINT) AS osm_id,
+           1e-9 * (0 + 100 * (80000000 + i * 1000000)) AS lon,
+           1e-9 * (0 + 100 * (500000000 + i * 1000000)) AS lat,
+           CAST(NULL AS VARCHAR) AS name,
+           '{"highway":"residential"}' AS tags_json
+    FROM range(0, 100) t(i)
+    """
+
+
+@register("osm_frame_source_decode", oracle=_frame_source_oracle())
 def osm_frame_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-layer framing contract (PbfReader.scala:11-29 semantics): write
     a deterministic framed+zlib fixture, scan via binaryFile, inflate, parse
-    blocks, dense-decode to nodes — rows-only (binary path has no SQL twin;
-    golden values pinned in tests/test_scale_layer.py)."""
+    blocks, dense-decode to nodes. Hard-oracled (r05) against the
+    closed-form expansion of the hand-built deltas — a mis-framed blob,
+    broken inflate, or off-by-one delta chain all break the hash."""
     import os
     import tempfile
 
@@ -330,43 +381,92 @@ def _wire_fixture(spark: SparkSession):
     return path
 
 
-@register("osm_way_frame_decode", oracle=None)
+# json.dumps(sort_keys=True) default separators put a space after ':' —
+# the VALUES literals below must match that byte-for-byte
+_WAY_FRAME_ORACLE = """
+    SELECT CAST(100 + i AS BIGINT) AS way_id,
+           '{"highway": "residential"}' AS tags_json,
+           CAST(3 AS BIGINT) AS n_refs,
+           CAST(10 * i + 1 AS BIGINT) AS first_ref,
+           CAST(10 * i + 6 AS BIGINT) AS last_ref
+    FROM range(0, 20) t(i)
+    """
+
+
+@register("osm_way_frame_decode", oracle=_WAY_FRAME_ORACLE)
 def osm_way_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Way groups decoded from real protobuf PBF frames (S8 at wire level:
-    delta refs, string-table tags — WayImporter.scala:25-53)."""
+    delta refs, string-table tags — WayImporter.scala:25-53). Hard-oracled
+    (r05): the fixture's refs are hand-built deltas [10i+1, 2, 3], so the
+    decoded absolutes [10i+1, 10i+3, 10i+6] are known by construction."""
     from fs2_osm_spark.sources.pbf_frames import read_ways_from_frames
 
     ways = read_ways_from_frames(spark, _wire_fixture(spark))
     return ways.select(
         "way_id",
         "tags_json",
-        F.size("refs").alias("n_refs"),
+        F.size("refs").cast("bigint").alias("n_refs"),
         F.element_at("refs", 1).alias("first_ref"),
         F.element_at("refs", -1).alias("last_ref"),
     )
 
 
-@register("osm_relation_frame_decode", oracle=None)
+_REL_FRAME_ORACLE = """
+    SELECT CAST(900 + i AS BIGINT) AS relation_id,
+           '{"type": "multipolygon"}' AS tags_json,
+           CAST(2 AS BIGINT) AS n_members,
+           'outer,inner' AS roles_csv,
+           'way,way' AS types_csv,
+           CAST(101 + i AS BIGINT) AS last_member_id
+    FROM range(0, 5) t(i)
+    """
+
+
+@register("osm_relation_frame_decode", oracle=_REL_FRAME_ORACLE)
 def osm_relation_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation groups decoded from real protobuf PBF frames (S9 at wire
-    level: delta member ids, roles/types — RelationImporter.scala:21-70)."""
+    level: delta member ids, roles/types — RelationImporter.scala:21-70).
+    Hard-oracled (r05): member deltas [100+i, 1] decode to [100+i, 101+i];
+    roles_sid [5, 6] and types [1, 1] resolve to outer/inner and way/way
+    through the hand-built string table."""
     from fs2_osm_spark.sources.pbf_frames import read_relations_from_frames
 
     rels = read_relations_from_frames(spark, _wire_fixture(spark))
     return rels.select(
         "relation_id",
         "tags_json",
-        F.size("member_ids").alias("n_members"),
+        F.size("member_ids").cast("bigint").alias("n_members"),
         F.array_join("member_roles", ",").alias("roles_csv"),
         F.array_join("member_types", ",").alias("types_csv"),
         F.element_at("member_ids", -1).alias("last_member_id"),
     )
 
 
-@register("osm_dense_info_decode", oracle=None)
+# hand-derived from the deltas below: ids 100,101,102; timestamp cumsum
+# [1.5e9, +10, -5] x date_granularity 1000 ms; changesets 900,901,902;
+# uids 42,42,40; user_sid cumsum 1,2,1 -> alice,bob,alice
+_DENSE_INFO_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(100 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(1500000000000 AS BIGINT), CAST(900 AS BIGINT),
+         CAST(42 AS BIGINT), 'alice'),
+        (CAST(101 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(1500000010000 AS BIGINT), CAST(901 AS BIGINT),
+         CAST(42 AS BIGINT), 'bob'),
+        (CAST(102 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(1500000005000 AS BIGINT), CAST(902 AS BIGINT),
+         CAST(40 AS BIGINT), 'alice')
+    ) AS t(osm_id, version, epoch_ms, changeset, uid, "user")
+    """
+
+
+@register("osm_dense_info_decode", oracle=_DENSE_INFO_ORACLE)
 def osm_dense_info_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DenseInfo decode (S10): version/timestamp/changeset/uid/user carried
-    alongside dense nodes, delta chains + string-table usernames."""
+    alongside dense nodes, delta chains + string-table usernames.
+    Hard-oracled (r05) against the hand-derived running sums of the
+    fixture's deltas (negative deltas and the default 1000 ms
+    date_granularity included)."""
     import os
     import tempfile
 
@@ -395,4 +495,9 @@ def osm_dense_info_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="opf_info_")
     path = os.path.join(d, "fixture.osm.pbf")
     write_frames(path, [block])
-    return read_node_info_from_frames(spark, path)
+    info = read_node_info_from_frames(spark, path)
+    return info.select(
+        "osm_id",
+        F.col("version").cast("bigint").alias("version"),
+        "epoch_ms", "changeset", "uid", "user",
+    )

@@ -55,23 +55,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rows-only. Freshly-green r04 queries fall to the back — their rows stand.
 PRIORITY: list[str] = [
     # (a) changed in round 5 (newly hard-oracled / code touched)
+    "sim_ivf_ann_md5",
     "img_rasterize_vectorize",
     "osm_lines_assembly",
     "osm_simple_polygons",
     "geom_stats_osm_lines",
     "img_decode_stats",
     "lineage_batched_resume",
+    "osm_dense_decode",
+    "osm_dense_info_decode",
+    "osm_frame_source_decode",
+    "osm_relation_frame_decode",
+    "osm_way_frame_decode",
     # (b) newest green row is r02 (rows-only)
     "img_flagship_spatial_join",
     "osm_export_summary",
     "osm_feature_catalog",
     "geo_s2_cell_assignment",
-    "osm_dense_decode",
-    "osm_dense_info_decode",
-    "osm_frame_source_decode",
     "osm_multipolygons",
-    "osm_relation_frame_decode",
-    "osm_way_frame_decode",
     # (c) newest green row is r03 — hard-oracled
     "dedup_exact",
     "dedup_jaccard_verify",

@@ -232,6 +232,106 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, cents, queries, k=TOP_K, n_probe=4)
 
 
+IVF_K = 16
+IVF_PROBE = 4
+IVF_MOD = 17
+
+
+def _ivf_md5_oracle() -> str:
+    """Full IVF pipeline re-derived in DuckDB: same md5-strided centroid
+    sample, same argmax assignment, same n_probe nearest-list probe, same
+    exact rerank with the (round(cos,7) DESC, neighbor_id) tie-break the
+    engine's window uses."""
+    from fs2_osm_spark.functions.text import h16_sql
+
+    h = h16_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent_sel AS (
+        SELECT vec_id, v, {h} AS h FROM e
+        WHERE {h} % {IVF_MOD} = 0
+        ORDER BY h, vec_id LIMIT {IVF_K}
+    ),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+        FROM cent_sel
+    ),
+    cos_all AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM cos_all
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM cos_all WHERE vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_dot_product(q.v, n.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(n.v, n.v))) AS cos
+        FROM probe p
+        JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           CAST(round(cos, 6) AS DOUBLE) AS cos_sim
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(cos, 7) DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_ivf_ann_md5", oracle=_ivf_md5_oracle())
+def sim_ivf_ann_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the PORTABLE md5-strided coarse quantizer (the
+    verifiable twin of sim_ivf_ann's xxhash64 fast path, same pattern as
+    dedup's md5/xxhash pairs): centroid sample, inverted-list assignment,
+    n_probe search, exact rerank — the whole pipeline hard-oracled against
+    a DuckDB re-derivation. Same plan shape as the fast path (stride
+    filter -> TakeOrderedAndProject sample -> broadcast assign -> bucket
+    equi-join), so the oracle certifies the real scale machinery."""
+    import numpy as np
+
+    from fs2_osm_spark.functions.text import h16_sql
+    from fs2_osm_spark.operators.similarity import ivf_assign, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    h = F.expr(h16_sql("CAST(vec_id AS STRING)")).cast("bigint")
+    sampled = (
+        corpus.withColumn("h", h)
+        .filter(F.pmod(F.col("h"), F.lit(IVF_MOD)) == 0)
+        .orderBy("h", "vec_id")
+        .limit(IVF_K)
+        .collect()
+    )
+    cents = [(i, np.asarray(r.v, np.float64)) for i, r in enumerate(sampled)]
+    assigned = ivf_assign(corpus, cents)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_search(assigned, cents, queries, k=TOP_K, n_probe=IVF_PROBE)
+
+
 @register(
     "sim_embedding_quantize",
     oracle="""
