@@ -130,6 +130,22 @@ def osm_lines_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _polygon_whitelist_cond() -> str:
+    """The taggedPolygons whitelist as a single condition over an EAV tag
+    alias `t` — generated from the SAME constants the Spark predicate uses
+    (operators/assembly.py POLYGON_KEYS / POLYGON_VALUE_IN)."""
+    from fs2_osm_spark.operators.assembly import POLYGON_KEYS, POLYGON_VALUE_IN
+
+    keys = ", ".join(f"'{k}'" for k in POLYGON_KEYS)
+    val_conds = " OR ".join(
+        "(t.key = '{k}' AND t.value IN ({vs}))".format(
+            k=k, vs=", ".join(f"'{v}'" for v in vs)
+        )
+        for k, vs in POLYGON_VALUE_IN.items()
+    )
+    return f"t.key IN ({keys}) OR {val_conds}"
+
+
 def _simple_polygons_oracle() -> str:
     from fs2_osm_spark.operators.assembly import POLYGON_KEYS, POLYGON_VALUE_IN
     from fs2_osm_spark.synth.staging import osm_fixture_path
@@ -187,27 +203,256 @@ def osm_simple_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("osm_multipolygons", oracle=None)
+def _stitch_ctes() -> str:
+    """Shared recursive-CTE block re-deriving the multipolygon stitcher's
+    COUNTABLE structure in SQL (final query must start WITH RECURSIVE):
+
+    - segments = deduped (relation, way, role) members of multipolygon
+      relations whose way resolves to >= 2 points,
+    - components = transitive closure over shared 1e-6-quantized endpoints
+      (the stitcher merges exactly when an endpoint pair matches),
+    - ring point count = sum(segment pts) - (n_segs - 1) joins, + 1 repair
+      point iff the component is an open chain (any endpoint with odd
+      occurrence count — ComplexPolygonBuilder.scala:90-93 closure repair).
+
+    Equality with the greedy stitcher holds when every component is a
+    simple chain/cycle (endpoint degree <= 2) — true by construction for
+    the synthetic corpus; a branching corpus would mismatch LOUDLY in the
+    compare rather than silently."""
+    qfl = _Q.format(v="arg_min(lon, idx)")
+    qll = _Q.format(v="arg_max(lon, idx)")
+    qft = _Q.format(v="arg_min(lat, idx)")
+    qlt = _Q.format(v="arg_max(lat, idx)")
+    from fs2_osm_spark.synth.staging import osm_fixture_path
+
+    rels = osm_fixture_path("relations")
+    rws = osm_fixture_path("relations_ways")
+    return f"""
+    pts AS ({_fixture_pts_cte()}),
+    lines AS (
+        SELECT way_id, CAST(count(*) AS BIGINT) AS n_pts,
+               ({qfl} = {qll} AND {qft} = {qlt}) AS is_closed,
+               {qfl} AS qfl, {qft} AS qft, {qll} AS qll, {qlt} AS qlt
+        FROM pts GROUP BY way_id
+    ),
+    mp_rels AS (
+        SELECT osm_id AS relation_id FROM read_parquet('{rels}')
+        WHERE type = 'multipolygon'
+    ),
+    segs AS (
+        SELECT rw.relation_id, rw.way_id, rw.role,
+               l.n_pts, l.qfl, l.qft, l.qll, l.qlt
+        FROM (SELECT DISTINCT relation_id, way_id, role
+              FROM read_parquet('{rws}')) rw
+        JOIN mp_rels USING (relation_id)
+        JOIN lines l ON l.way_id = rw.way_id
+        WHERE l.n_pts >= 2
+    ),
+    edges AS (
+        SELECT a.relation_id, a.role, a.way_id AS wa, b.way_id AS wb
+        FROM segs a JOIN segs b
+          ON a.relation_id = b.relation_id AND a.role = b.role
+         AND a.way_id <> b.way_id
+         AND ((a.qfl = b.qfl AND a.qft = b.qft)
+           OR (a.qfl = b.qll AND a.qft = b.qlt)
+           OR (a.qll = b.qfl AND a.qlt = b.qft)
+           OR (a.qll = b.qll AND a.qlt = b.qlt))
+    ),
+    reach AS (
+        SELECT relation_id, role, way_id AS a, way_id AS b FROM segs
+        UNION
+        SELECT r.relation_id, r.role, r.a, e.wb
+        FROM reach r JOIN edges e
+          ON e.relation_id = r.relation_id AND e.role = r.role AND e.wa = r.b
+    ),
+    comp AS (
+        SELECT relation_id, role, a AS way_id, min(b) AS label
+        FROM reach GROUP BY relation_id, role, a
+    ),
+    eps AS (
+        SELECT relation_id, role, label, qx, qy, count(*) AS cnt FROM (
+            SELECT c.relation_id, c.role, c.label, s.qfl AS qx, s.qft AS qy
+            FROM comp c JOIN segs s ON s.relation_id = c.relation_id
+                                    AND s.role = c.role AND s.way_id = c.way_id
+            UNION ALL
+            SELECT c.relation_id, c.role, c.label, s.qll AS qx, s.qlt AS qy
+            FROM comp c JOIN segs s ON s.relation_id = c.relation_id
+                                    AND s.role = c.role AND s.way_id = c.way_id
+        ) GROUP BY relation_id, role, label, qx, qy
+    ),
+    rings AS (
+        SELECT r.relation_id, r.role, r.label,
+               r.tot_pts - (r.n_segs - 1)
+                 + (CASE WHEN cl.closed THEN 0 ELSE 1 END) AS ring_pts
+        FROM (
+            SELECT c.relation_id, c.role, c.label,
+                   CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(sum(s.n_pts) AS BIGINT) AS tot_pts
+            FROM comp c JOIN segs s ON s.relation_id = c.relation_id
+                                    AND s.role = c.role AND s.way_id = c.way_id
+            GROUP BY c.relation_id, c.role, c.label
+        ) r JOIN (
+            SELECT relation_id, role, label,
+                   (count(*) FILTER (WHERE cnt % 2 = 1) = 0) AS closed
+            FROM eps GROUP BY relation_id, role, label
+        ) cl USING (relation_id, role, label)
+    )
+    """
+
+
+def _multipolygons_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_stitch_ctes()}
+    SELECT o.relation_id AS polygon_id,
+           CAST(row_number() OVER (PARTITION BY o.relation_id
+                                   ORDER BY o.label) - 1 AS BIGINT) AS ring_no,
+           CAST(2 * o.ring_pts AS BIGINT) AS outer_coords,
+           CAST((SELECT count(*) FROM rings i
+                 WHERE i.relation_id = o.relation_id AND i.role = 'inner'
+                   AND i.ring_pts > 3) AS BIGINT) AS n_holes
+    FROM rings o WHERE o.role = 'outer'
+    """
+
+
+@register("osm_multipolygons", oracle=_multipolygons_oracle())
 def osm_multipolygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-based multipolygon stitching (replaces R13's per-relation loop)."""
+    """Set-based multipolygon stitching (replaces R13's per-relation loop).
+    Hard-oracled (r05): DuckDB re-derives ring structure via a recursive
+    transitive closure over quantized endpoint matches — component count,
+    stitched point count (joins + closure repair), and hole filtering all
+    recomputed independently. Hole->ring containment uses the synthetic
+    corpus's single-outer property (every hole belongs to ring 0); a
+    multi-outer corpus would fail the compare loudly, not silently."""
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture
+
+    ensure_osm_fixture(spark)
     t = osm_tables(spark, N_ZONES)
     lines = build_osm_lines(t["ways"], t["nodes"])
     mp = build_multipolygons(t["relations"], t["relations_ways"], lines)
     return mp.select(
         "polygon_id",
-        "ring_no",
-        F.size("outer").alias("outer_coords"),
-        F.size("inners").alias("n_holes"),
+        F.col("ring_no").cast("bigint").alias("ring_no"),
+        F.size("outer").cast("bigint").alias("outer_coords"),
+        F.size("inners").cast("bigint").alias("n_holes"),
     )
 
 
-@register("osm_feature_catalog", oracle=None)
+# Feature predicates re-expressed over the EAV tag fixture — kept in ONE
+# table so the SQL twin and plans/features.py can be diffed side by side.
+# (name, source, SQL predicate builder over a tag-EAV alias)
+def _tag_exists(tags_path: str, id_col: str, id_expr: str, cond: str) -> str:
+    return (f"EXISTS (SELECT 1 FROM read_parquet('{tags_path}') t "
+            f"WHERE t.{id_col} = {id_expr} AND {cond})")
+
+
+def _feature_count_sql() -> dict[str, str]:
+    """feature name -> scalar-subquery SQL for its row count, re-deriving
+    run_all_features over the staged fixture: line features count matching
+    osm_lines rows; polygon features count matching closed ways PLUS one
+    row per outer ring of matching multipolygon relations (all_polygons is
+    un-whitelisted — each feature applies its own predicate)."""
+    from fs2_osm_spark.synth.staging import osm_fixture_path
+
+    wt = osm_fixture_path("way_tags")
+    rt = osm_fixture_path("relation_tags")
+    rels = osm_fixture_path("relations")
+    wn = osm_fixture_path("ways_nodes")
+
+    def w_has(k: str) -> str:
+        return _tag_exists(wt, "way_id", "l.way_id", f"t.key = '{k}'")
+
+    def w_eq(k: str, v: str) -> str:
+        return _tag_exists(wt, "way_id", "l.way_id",
+                           f"t.key = '{k}' AND t.value = '{v}'")
+
+    def r_has(k: str) -> str:
+        return _tag_exists(rt, "relation_id", "nc.relation_id", f"t.key = '{k}'")
+
+    def r_eq(k: str, v: str) -> str:
+        return _tag_exists(rt, "relation_id", "nc.relation_id",
+                           f"t.key = '{k}' AND t.value = '{v}'")
+
+    # (way-predicate, relation-predicate) per feature — transcriptions of
+    # plans/features.py FEATURES (which transcribe the reference Scala)
+    line_preds = {
+        "highways": w_has("highway"),
+        "coastlines": w_eq("natural", "coastline"),
+        "waterways": w_has("waterway"),
+        "rails": w_has("railway"),
+    }
+    poly_preds = {
+        "waters": (w_eq("natural", "water"), r_eq("natural", "water")),
+        "buildings": (w_has("building"), r_has("building")),
+        "landuses": (w_has("landuse"), r_has("landuse")),
+        "industrial": (w_eq("landuse", "industrial"),
+                       r_eq("landuse", "industrial")),
+        "amenities": (
+            f"({w_eq('landuse', 'industrial')} AND {w_eq('amenity', 'recycling')})",
+            f"({r_eq('landuse', 'industrial')} AND {r_eq('amenity', 'recycling')})",
+        ),
+        "leisures": (w_has("leisure"), r_has("leisure")),
+        "woods": (
+            f"({w_eq('natural', 'wood')} OR {w_eq('landuse', 'forest')})",
+            f"({r_eq('natural', 'wood')} OR {r_eq('landuse', 'forest')})",
+        ),
+        "railways": (w_eq("landuse", "railway"), r_eq("landuse", "railway")),
+        "protected_areas": (w_eq("boundary", "protected_area"),
+                            r_eq("boundary", "protected_area")),
+    }
+    out = {
+        name: f"(SELECT count(*) FROM lines l WHERE {pred})"
+        for name, pred in line_preds.items()
+    }
+    for name, (wp, rp) in poly_preds.items():
+        out[name] = f"""(
+            (SELECT count(*) FROM lines l WHERE l.is_closed AND {wp})
+            + (SELECT coalesce(count(*), 0)
+               FROM (SELECT relation_id, label FROM rings
+                     WHERE role = 'outer') nc
+               JOIN read_parquet('{rels}') r ON r.osm_id = nc.relation_id
+               WHERE r.type = 'multipolygon' AND {rp})
+        )"""
+    out["highways_nodes"] = f"""(
+        SELECT count(*) FROM read_parquet('{wn}') x
+        WHERE EXISTS (SELECT 1 FROM read_parquet('{wt}') t
+                      WHERE t.way_id = x.way_id AND t.key = 'highway')
+    )"""
+    out["administrative_boundaries"] = f"""(
+        (SELECT count(*) FROM lines l
+         WHERE l.is_closed AND {w_eq("boundary", "administrative")})
+        + (SELECT count(*) FROM read_parquet('{rels}') r
+           WHERE r.type = 'boundary'
+             AND EXISTS (SELECT 1 FROM read_parquet('{rt}') t
+                         WHERE t.relation_id = r.osm_id
+                           AND t.key = 'boundary'
+                           AND t.value = 'administrative')
+             AND EXISTS (SELECT 1 FROM read_parquet('{osm_fixture_path("relations_ways")}') m
+                         JOIN lines ml ON ml.way_id = m.way_id
+                         WHERE m.relation_id = r.osm_id))
+    )"""
+    return out
+
+
+def _feature_catalog_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST({sql} AS BIGINT) AS n"
+        for name, sql in _feature_count_sql().items()
+    )
+    return f"WITH RECURSIVE {_stitch_ctes()} {selects}"
+
+
+@register("osm_feature_catalog", oracle=_feature_catalog_oracle())
 def osm_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All catalog features (SURVEY.md §2.4) -> per-feature row counts,
     incl. the highways_nodes side table and the two-pass (closed ways +
-    relation ST_Collect) administrative_boundaries."""
+    relation ST_Collect) administrative_boundaries. Hard-oracled (r05):
+    every feature's count re-derived in SQL over the staged fixture — tag
+    predicates re-transcribed as EXISTS over the EAV tag tables, the
+    multipolygon contribution via the recursive stitch-structure CTE."""
     from fs2_osm_spark.operators.assembly import all_polygons
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture
 
+    ensure_osm_fixture(spark)
     t = osm_tables(spark, N_ZONES)
     lines = build_osm_lines(t["ways"], t["nodes"]).cache()
     polys = all_polygons(lines, t["relations"], t["relations_ways"])
@@ -273,16 +518,65 @@ def osm_frame_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _driver_safe_tags(read_nodes_from_frames(spark, path))
 
 
-@register("osm_export_summary", oracle=None)
+def _export_summary_oracle() -> str:
+    """The whole 22-table Summary re-derived in SQL: raw fan-out counts
+    straight off the fixture tables (ways_nodes = raw explode,
+    relations_ways = keep-first dedupe), osm_lines/polygons via the shared
+    assembly CTEs, every feature via the same per-feature count SQL as the
+    catalog oracle."""
+    from fs2_osm_spark.synth.staging import osm_fixture_path
+
+    raw = {
+        "nodes": f"(SELECT count(*) FROM read_parquet('{osm_fixture_path('nodes')}'))",
+        "ways": f"(SELECT count(*) FROM read_parquet('{osm_fixture_path('ways')}'))",
+        "ways_nodes":
+            f"(SELECT count(*) FROM read_parquet('{osm_fixture_path('ways_nodes')}'))",
+        "relations":
+            f"(SELECT count(*) FROM read_parquet('{osm_fixture_path('relations')}'))",
+        "relations_ways": f"""(
+            SELECT count(*) FROM (
+                SELECT DISTINCT relation_id, way_id, role
+                FROM read_parquet('{osm_fixture_path('relations_ways')}')
+            )
+        )""",
+        "osm_lines": "(SELECT count(*) FROM lines)",
+        "polygons": f"""(
+            SELECT count(*) FROM lines l
+            WHERE l.is_closed
+              AND EXISTS (
+                  SELECT 1 FROM read_parquet('{osm_fixture_path('way_tags')}') t
+                  WHERE t.way_id = l.way_id AND ({_polygon_whitelist_cond()})
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM read_parquet('{osm_fixture_path('way_tags')}') t
+                  WHERE t.way_id = l.way_id
+                    AND t.key = 'area' AND t.value = 'no'
+              )
+        )""",
+    }
+    counts = {**raw, **_feature_count_sql()}
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS table_name, CAST({sql} AS BIGINT) AS n_rows"
+        for name, sql in counts.items()
+    )
+    return f"WITH RECURSIVE {_stitch_ctes()} {selects}"
+
+
+@register("osm_export_summary", oracle=_export_summary_oracle())
 def osm_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full runExport lifecycle (PostgresExporter.scala:41-58 parity):
     raw-table fan-out -> phase barrier -> all feature passes; returns the
-    Summary fold (table -> rows written), one row per materialized table."""
+    Summary fold (table -> rows written), one row per materialized table.
+    Hard-oracled (r05): all 22 Summary counts re-derived in SQL over the
+    staged fixture — and the Spark side still actually WRITES each table
+    and counts it back, so the oracle covers the sink round trip too."""
     import tempfile
 
     from fs2_osm_spark.plans.export import run_export
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture
 
-    t = osm_tables(spark, 128)
+    ensure_osm_fixture(spark)
+    t = osm_tables(spark, N_ZONES)
     root = tempfile.mkdtemp(prefix="export_")
     summary = run_export(
         spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"], root

@@ -67,12 +67,12 @@ PRIORITY: list[str] = [
     "osm_frame_source_decode",
     "osm_relation_frame_decode",
     "osm_way_frame_decode",
+    "osm_multipolygons",
+    "osm_feature_catalog",
+    "osm_export_summary",
     # (b) newest green row is r02 (rows-only)
     "img_flagship_spatial_join",
-    "osm_export_summary",
-    "osm_feature_catalog",
     "geo_s2_cell_assignment",
-    "osm_multipolygons",
     # (c) newest green row is r03 — hard-oracled
     "dedup_exact",
     "dedup_jaccard_verify",

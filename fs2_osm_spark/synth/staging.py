@@ -110,7 +110,7 @@ def ensure_osm_fixture(spark) -> str:
     twin), computed driver-side at staging time from the fixture rows and
     defended by the anti-drift test in tests/test_osm_fixture_oracles.py.
     """
-    if not os.path.exists(osm_fixture_path("geom_extra")):
+    if not os.path.exists(osm_fixture_path("relation_tags")):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -136,6 +136,18 @@ def ensure_osm_fixture(spark) -> str:
         ways_nodes = pd.DataFrame(wn_rows, columns=["way_id", "idx", "node_id"])
         way_tags = pd.DataFrame(tag_rows, columns=["way_id", "key", "value"])
 
+        rels_pdf = t["relations"].toPandas().sort_values("osm_id").reset_index(drop=True)
+        relations = rels_pdf[["osm_id", "name", "type"]]
+        relation_tags = pd.DataFrame(
+            [(r.osm_id, k, r.tags[k])
+             for r in rels_pdf.itertuples() for k in sorted(r.tags)],
+            columns=["relation_id", "key", "value"],
+        )
+        relations_ways = (
+            t["relations_ways"].toPandas()
+            .sort_values(["relation_id", "index"]).reset_index(drop=True)
+        )
+
         # recorded column: n_points_simplified (DP tol 1e-4) per assembled
         # way geometry, computed driver-side from the SAME fixture rows
         coord = nodes.set_index("osm_id")[["lon", "lat"]]
@@ -154,6 +166,8 @@ def ensure_osm_fixture(spark) -> str:
         for name, pdf in (
             ("nodes", nodes), ("ways", ways), ("ways_nodes", ways_nodes),
             ("way_tags", way_tags), ("geom_extra", geom_extra),
+            ("relations", relations), ("relations_ways", relations_ways),
+            ("relation_tags", relation_tags),
         ):
             tmp = osm_fixture_path(name) + ".tmp"
             pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)

@@ -63,6 +63,26 @@ def test_osm_fixture_matches_live_synthesis(spark):
     pd.testing.assert_frame_equal(tags_fx, _sorted(tags_live, ["way_id", "key"]),
                                   check_exact=True)
 
+    rels_live = t["relations"].toPandas().sort_values("osm_id").reset_index(drop=True)
+    rels_fx = _sorted(pq.read_table(osm_fixture_path("relations")).to_pandas(),
+                      ["osm_id"])
+    pd.testing.assert_frame_equal(
+        rels_fx, rels_live[["osm_id", "name", "type"]], check_exact=True
+    )
+    rt_fx = _sorted(pq.read_table(osm_fixture_path("relation_tags")).to_pandas(),
+                    ["relation_id", "key"])
+    rt_live = pd.DataFrame(
+        [(r.osm_id, k, r.tags[k])
+         for r in rels_live.itertuples() for k in sorted(r.tags)],
+        columns=["relation_id", "key", "value"],
+    )
+    pd.testing.assert_frame_equal(rt_fx, _sorted(rt_live, ["relation_id", "key"]),
+                                  check_exact=True)
+    rw_fx = _sorted(pq.read_table(osm_fixture_path("relations_ways")).to_pandas(),
+                    ["relation_id", "index"])
+    rw_live = _sorted(t["relations_ways"].toPandas(), ["relation_id", "index"])
+    pd.testing.assert_frame_equal(rw_fx, rw_live, check_exact=True)
+
 
 def test_osm_fixture_geom_extra_recompute(spark):
     """n_points_simplified (the one RECORDED column) recomputed live with
