@@ -95,6 +95,37 @@ def _null_ceiling(n_lo: int, n_hi: int, refresh: bool = False) -> dict:
 GATE = 0.8
 
 
+def _secondary_md() -> str:
+    """Render any recorded secondary level pairs (trend evidence) for
+    BASELINE.md; empty string if none recorded yet."""
+    try:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            pairs = json.load(f).get("secondary_pairs") or {}
+    except OSError:
+        return ""
+    if not pairs:
+        return ""
+    lines = [
+        "",
+        "## Secondary level pairs (trend, non-gating)",
+        "",
+        "| pair | raw | null ceiling | normalized |",
+        "|---|---|---|---|",
+    ]
+    for name, p in sorted(pairs.items()):
+        lines.append(
+            f"| {name} | {p['raw_efficiency']:.3f} "
+            f"| {p['null_ceiling_efficiency']:.3f} "
+            f"| {p['normalized_efficiency']:.3f} |"
+        )
+    lines.append(
+        "\nTwo independent core-count pairs make the efficiency claim a "
+        "trend instead of a single ratio; the north-rule gate is still "
+        "evaluated on the prescribed 8/32 pair only."
+    )
+    return "\n".join(lines)
+
+
 def write_report(
     lo: dict, hi: dict, n_lo: int, n_hi: int, secondary: bool = False
 ) -> None:
@@ -148,6 +179,14 @@ def write_report(
             json.dump(primary, f, indent=1)
         print(f"recorded secondary pair {n_lo}/{n_hi} in {scaling_path}")
         return
+    # a fresh primary run must not erase previously recorded secondary pairs
+    try:
+        with open(scaling_path) as f:
+            prior = json.load(f)
+        if prior.get("secondary_pairs"):
+            report["secondary_pairs"] = prior["secondary_pairs"]
+    except OSError:
+        pass
     print(json.dumps(report))
     with open(scaling_path, "w") as f:
         json.dump(report, f, indent=1)
@@ -196,6 +235,7 @@ exits non-zero if the gate fails). Per-query timings: `python bench.py`.
 A second (non-gating) level pair can be recorded alongside with
 `SCALE_SECONDARY=1 SCALE_N_LO=4 SCALE_N_HI=16 python tools/scaling_bench.py`
 — see `secondary_pairs` in BENCH/scaling.json.
+{_secondary_md()}
 
 ## Timing methodology (round 5+): cold vs warm, host calibration
 
