@@ -42,9 +42,21 @@ def run_export(
     relations: DataFrame,
     relations_ways: DataFrame,
     output_root: str,
+    sink_parallelism: int = 8,
 ) -> dict[str, int]:
     """Load raw tables, then run the feature catalog. Returns the Summary:
-    table name -> rows written."""
+    table name -> rows written.
+
+    Phase A stays sequential (downstream reads depend on it); Phase B's
+    feature passes are independent INSERT…SELECTs, so they are submitted
+    as CONCURRENT Spark actions from a thread pool — the reference streams
+    its feature passes through one connection sequentially, but on a
+    cluster the scheduler interleaves independent small jobs and keeps
+    executors busy (a 17-sink tail of driver round-trips otherwise
+    serializes into fixed per-job latency). Both shared inputs (lines and
+    the closed-way ∪ multipolygon union) are cached and MATERIALIZED
+    before the pool starts, so concurrent consumers hit the cache instead
+    of racing to recompute the assembly/stitch lineage per feature."""
     summary: dict[str, int] = {}
 
     def sink(df: DataFrame, name: str) -> DataFrame:
@@ -74,17 +86,32 @@ def run_export(
 
     # ---- Phase B: feature passes (after the barrier) ----
     lines = build_osm_lines(ways_t, nodes_t).cache()
+    lines.count()  # materialize before concurrent consumers
     rw_t = read_table(spark, os.path.join(output_root, "relations_ways"))
+    # feature passes each filter the UN-whitelisted closed-way ∪ multipolygon
+    # union with their own predicate, like the reference's per-feature SQL;
+    # cache it or every polygon feature re-runs the stitch applyInPandas
+    polys = all_polygons(lines, rels_t, rw_t).cache()
+    polys.count()
     # the `polygons` table is way-sourced only (PolygonFeature.scala:30-32:
     # combineWays is commented out), with the exact taggedPolygons whitelist
-    sink(lines, "osm_lines")
-    sink(simple_polygons(lines), "polygons")
-    # feature passes each filter the UN-whitelisted closed-way ∪ multipolygon
-    # union with their own predicate, like the reference's per-feature SQL
-    polys = all_polygons(lines, rels_t, rw_t)
-    for name, df in run_all_features(
-        lines, polys, ways=ways_t, relations=rels_t, relations_ways=rw_t
-    ).items():
-        sink(df, name)
+    phase_b: dict[str, DataFrame] = {
+        "osm_lines": lines,
+        "polygons": simple_polygons(lines),
+        **run_all_features(
+            lines, polys, ways=ways_t, relations=rels_t, relations_ways=rw_t
+        ),
+    }
+    if sink_parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=sink_parallelism) as ex:
+            futures = {n: ex.submit(sink, df, n) for n, df in phase_b.items()}
+            for n, fut in futures.items():
+                fut.result()  # propagate the first failure
+    else:
+        for n, df in phase_b.items():
+            sink(df, n)
     lines.unpersist()
+    polys.unpersist()
     return summary

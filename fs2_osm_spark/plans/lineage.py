@@ -82,7 +82,18 @@ class LineageLog:
         for pid, n in partition_rows or []:
             rows.append((batch_id, "partition", pid, n, n_partitions, wall_ms))
         base = T.StructType(LINEAGE_SCHEMA.fields[:6])
-        df = self.spark.createDataFrame(rows, base).withColumn(
+        # Arrow path (pandas -> LocalRelation): a plain createDataFrame over
+        # local rows falls back to a pickled-RDD plan whose FIRST execution
+        # spins up Python workers — ~4-6s per record() call, which at one
+        # lineage write per batch dominated the whole batched-flagship stage
+        # (profiled r05: 6s/batch of an 8x7s loop). The pandas route stays
+        # JVM-side at execution: ~0.2s per append.
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            rows, columns=[f.name for f in base.fields]
+        ).astype({"partition_id": "Int64"})
+        df = self.spark.createDataFrame(pdf, base).withColumn(
             "attempt_ts", F.current_timestamp()
         )
         write_table(df.coalesce(1), self.dir, mode="append")

@@ -581,8 +581,11 @@ def osm_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = run_export(
         spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"], root
     )
+    import pandas as pd
+
     return spark.createDataFrame(
-        sorted(summary.items()), "table_name string, n_rows long"
+        pd.DataFrame(sorted(summary.items()), columns=["table_name", "n_rows"]),
+        "table_name string, n_rows long",
     )
 
 
