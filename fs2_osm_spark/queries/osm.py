@@ -487,6 +487,66 @@ def _frame_source_oracle() -> str:
     """
 
 
+def _write_frame_fixture() -> str:
+    """The deterministic 100-node framed fixture shared by the frame-source
+    and http-source queries (same closed-form oracle)."""
+    import os
+    import tempfile
+
+    from fs2_osm_spark.sources.pbf_frames import encode_block, write_frames
+
+    d = tempfile.mkdtemp(prefix="opf_")
+    path = os.path.join(d, "fixture.opf")
+    blocks = [
+        encode_block(
+            ids=list(range(1, 101)),
+            lats=[500000000] + [1000000] * 99,
+            lons=[80000000] + [1000000] * 99,
+            keys_vals=[1, 2, 0] * 100,
+            string_table=["", "highway", "residential"],
+        )
+    ]
+    write_frames(path, blocks)
+    return path
+
+
+@register("osm_http_source_decode", oracle=_frame_source_oracle())
+def osm_http_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3: the SAME framed fixture served over an in-process loopback
+    HTTP server (no external data), fetched via the scheme-dispatched
+    downloader (Downloader.scala:17-21, toFile :36-47) into a temp file
+    and decoded by the standard frame scanner — same closed-form oracle as
+    the direct binaryFile path, so a transport-layer corruption breaks the
+    hash. The download is eager (driver-side), so the server is closed
+    before the DataFrame is evaluated; the distributed manifest fan-out
+    path is exercised in tests/test_http_source.py."""
+    import functools
+    import http.server
+    import os
+    import socketserver
+    import threading
+
+    from fs2_osm_spark.sources.http_source import read_nodes_from_url
+
+    path = _write_frame_fixture()
+    quiet = type(
+        "H", (http.server.SimpleHTTPRequestHandler,),
+        {"log_message": lambda *a: None},
+    )
+    handler = functools.partial(quiet, directory=os.path.dirname(path))
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        df = read_nodes_from_url(
+            spark, f"http://127.0.0.1:{port}/{os.path.basename(path)}"
+        )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    return _driver_safe_tags(df)
+
+
 @register("osm_frame_source_decode", oracle=_frame_source_oracle())
 def osm_frame_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-layer framing contract (PbfReader.scala:11-29 semantics): write

@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "geom_stats_osm_lines",
     "img_decode_stats",
     "lineage_batched_resume",
+    "osm_http_source_decode",
     "osm_dense_decode",
     "osm_dense_info_decode",
     "osm_frame_source_decode",
