@@ -55,6 +55,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rows-only. Freshly-green r04 queries fall to the back — their rows stand.
 PRIORITY: list[str] = [
     # (a) changed in round 5 (newly hard-oracled / code touched)
+    "text_pack_bins",
+    "text_dataset_mix",
     "sim_ivf_ann_md5",
     "img_rasterize_vectorize",
     "osm_lines_assembly",

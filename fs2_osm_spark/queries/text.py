@@ -151,3 +151,101 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("n_bpe_tokens"),
         F.regexp_count(F.col("text"), F.lit("[0-9]+")).cast("bigint").alias("n_numbers"),
     )
+
+
+PACK_BUDGET = 512
+
+
+@register(
+    "text_pack_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS psum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           psum // {PACK_BUDGET} AS bin_id,
+           psum % {PACK_BUDGET} AS offset_in_bin
+    FROM s
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: token-budget bin assignment over the global doc_id
+    order (concat-and-chunk, the LM-training packing shape). The Spark side
+    runs the DISTRIBUTED prefix sum (range shuffle + two narrow passes —
+    operators/packing.py; a global Window would collapse to one task); the
+    oracle is DuckDB's single-node window cumsum, so the distributed
+    decomposition must reproduce the sequential scan exactly."""
+    from fs2_osm_spark.operators.packing import pack_token_bins
+
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_token_bins(counted, "n_tokens", ["doc_id"], PACK_BUDGET)
+    return packed.select(
+        "doc_id", "n_tokens",
+        F.col("bin_id"),
+        F.col("offset_in_bin").cast("bigint").alias("offset_in_bin"),
+    )
+
+
+# deterministic mixing weights: keep-permille per source bucket (a "data
+# recipe"); unlisted sources fall back to DEFAULT_PERMILLE
+MIX_PERMILLE = {"src0": 1000, "src1": 750, "src2": 500, "src3": 250, "src4": 0}
+DEFAULT_PERMILLE = 900
+TRAIN_PERMILLE = 950  # 95/5 train-val split
+
+
+def _mix_oracle() -> str:
+    from fs2_osm_spark.functions.text import h16_sql
+
+    keep_h = h16_sql("'mix|' || doc_id")
+    split_h = h16_sql("'split|' || doc_id")
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIX_PERMILLE.items()
+    )
+    return f"""
+    SELECT doc_id, source,
+           ({keep_h} % 1000) < (CASE {cases} ELSE {DEFAULT_PERMILLE} END)
+               AS kept,
+           CASE WHEN ({split_h} % 1000) < {TRAIN_PERMILLE}
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """
+
+
+@register("text_dataset_mix", oracle=_mix_oracle())
+def text_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixing + train/val split: per-source keep
+    rates (a data recipe) and a 95/5 split, both decided by a content
+    hash of the doc id — reproducible across runs, cluster sizes and
+    engines (the md5 fragment evaluates identically in Spark and DuckDB),
+    and embarrassingly parallel: a pure Column filter, no shuffle, no
+    sampling state."""
+    from fs2_osm_spark.functions.text import h16_sql
+
+    docs = load(spark, sf_dir, "documents")
+    keep_h = F.expr(h16_sql("'mix|' || doc_id"))
+    split_h = F.expr(h16_sql("'split|' || doc_id"))
+    permille = F.lit(DEFAULT_PERMILLE)
+    for s, p in reversed(MIX_PERMILLE.items()):
+        permille = F.when(F.col("source") == s, F.lit(p)).otherwise(permille)
+    return docs.select(
+        "doc_id",
+        "source",
+        ((keep_h % 1000) < permille).alias("kept"),
+        F.when((split_h % 1000) < TRAIN_PERMILLE, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
