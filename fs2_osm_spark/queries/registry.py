@@ -57,6 +57,8 @@ PRIORITY: list[str] = [
     # (a) changed in round 5 (newly hard-oracled / code touched)
     "text_pack_bins",
     "text_dataset_mix",
+    "text_pii_redact",
+    "text_repetition_filter",
     "sim_ivf_ann_md5",
     "img_rasterize_vectorize",
     "osm_lines_assembly",

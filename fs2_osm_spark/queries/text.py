@@ -249,3 +249,137 @@ def text_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("val"))
         .alias("split"),
     )
+
+
+# --- corpus-curation ops: PII redaction + repetition filtering -------------
+
+# cross-engine regexes (same semantics under Java regex and RE2)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        -- deterministic PII is synthesized INTO the input on both sides
+        -- (the corpus itself is PII-free, which would make redaction a
+        -- no-op test): every doc gains an email, every 3rd a phone
+        SELECT doc_id,
+               text || ' contact ' || source || '@example.com'
+                    || CASE WHEN n_chars % 3 = 0
+                            THEN ' call 555-' || CAST(1000 + n_chars % 9000 AS VARCHAR)
+                            ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + phone patterns -> placeholder tokens), the
+    standard pre-training redaction pass. Deterministic PII is injected
+    into the corpus identically on both engines; the oracle matches the
+    per-doc match counts AND the md5 of the fully redacted text, so a
+    regex-semantics or replacement-order divergence breaks the hash.
+    Pure Column regexp ops — JVM-side, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact "), F.col("source"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("n_chars") % 3 == 0,
+            F.concat(F.lit(" call 555-"),
+                     (F.lit(1000) + F.col("n_chars") % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        -- parallel unnest = positional zip (DuckDB aligns multiple
+        -- unnests), giving (token, position) pairs
+        SELECT doc_id, unnest(L) AS w, unnest(range(1, len(L) + 1)) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS L FROM documents)
+    ),
+    grams AS (
+        SELECT doc_id, w,
+               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM toks
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(max(cnt) AS BIGINT) AS top_cnt,
+               CAST(count(g) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_grams
+        FROM (
+            SELECT doc_id, w, g,
+                   count(*) OVER (PARTITION BY doc_id, w) AS cnt
+            FROM grams
+        ) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+               AS top_token_ratio,
+           CAST(round(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6)
+                AS DOUBLE) AS dup_2gram_ratio,
+           (CAST(top_cnt AS DOUBLE) / n_tokens <= 0.2
+            AND 1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams <= 0.9)
+               AS keep
+    FROM stats
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher-style): most-frequent-token
+    ratio and duplicate-2-gram ratio per document, with a keep flag. One
+    explode + one shuffle on doc_id; at 100 TB this is the standard
+    map-side-combinable shape (token counts partial-aggregate before the
+    shuffle)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id", "w",
+        F.concat_ws(" ", F.col("w"), F.lead("w").over(w_ord)).alias("g_raw"),
+        F.lead("w").over(w_ord).isNotNull().alias("has_next"),
+    ).select(
+        "doc_id", "w", F.when(F.col("has_next"), F.col("g_raw")).alias("g")
+    )
+    per_tok = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "w"))
+    )
+    stats = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.max("cnt").alias("top_cnt"),
+        F.count("g").alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct_grams"),
+    )
+    top_ratio = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    dup_ratio = F.lit(1.0) - F.col("n_distinct_grams").cast("double") / F.col("n_grams")
+    return stats.select(
+        "doc_id",
+        F.round(top_ratio, 6).cast("double").alias("top_token_ratio"),
+        F.round(dup_ratio, 6).cast("double").alias("dup_2gram_ratio"),
+        ((top_ratio <= 0.2) & (dup_ratio <= 0.9)).alias("keep"),
+    )
