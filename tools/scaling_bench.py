@@ -257,9 +257,11 @@ fast). Every bench JSON therefore carries a `host` block:
   ~0.4-0.6s at local[32]; same kernel as the scaling null test).
 
 A flagship number recorded with high steal / slow probe is a contended
-window, not a code regression. Reference healthy point (r05, quiet):
-flagship warm 7.06s / cold 10.8s, steal 2.25%, probe 0.54s, join_rows
-13,706,875 at sf0.1.
+window, not a code regression. Reference healthy point (r05 final, quiet
+— steal 0.68%, probe 0.54s, sf0.1, join_rows 13,706,875): flagship warm
+6.75s (2.37M img/s), cell-join strategy 5.55s, arrow baseline 9.43s,
+dedup_minhash_fast 3.71s, geo_knn_kring 1.12s, pbf_lifecycle_512z 21.3s
+(post r05 lifecycle optimizations — see LIFECYCLE.md).
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
