@@ -252,11 +252,13 @@ def main() -> None:
         for name in HEADLINE:
             q = QUERIES[name]
             timed(name, lambda q=q: q.fn(spark, sf_dir).count())
-        # free the dedup operators' lazy plan-pins between bench sections
+        # free the dedup/packing plan-pins between bench sections
         # (cached blocks otherwise accumulate for the rest of the session)
         from fs2_osm_spark.operators.dedup import release_pins
+        from fs2_osm_spark.operators.packing import release_pins as release_pack
 
         release_pins()
+        release_pack()
 
         # full PBF lifecycle: synthesize frames -> wire decode -> export
         # fan-out + 17 feature passes -> flagship join, batched + lineage

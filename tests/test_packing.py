@@ -65,3 +65,28 @@ def test_no_single_task_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     release_pins()
+
+
+def test_parallel_export_propagates_sink_failure(spark, tmp_path, monkeypatch):
+    """A failing Phase-B feature sink must fail run_export, not vanish
+    into the thread pool (fut.result() re-raises the first error)."""
+    import pytest as _pytest
+
+    from fs2_osm_spark.plans import export as export_mod
+    from fs2_osm_spark.synth.osm import osm_tables
+
+    t = osm_tables(spark, 16)
+
+    real_write = export_mod.write_table
+
+    def failing_write(df, path, mode="overwrite"):
+        if path.endswith("/waters"):
+            raise RuntimeError("injected sink failure")
+        return real_write(df, path, mode)
+
+    monkeypatch.setattr(export_mod, "write_table", failing_write)
+    with _pytest.raises(RuntimeError, match="injected sink failure"):
+        export_mod.run_export(
+            spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
+            str(tmp_path / "out"),
+        )

@@ -45,11 +45,15 @@ def main() -> int:
             print(f"ok   {name} [{mode}] ({dt:.1f}s)")
         if name.startswith("dedup_"):
             # the dedup operators pin small intermediate plans with
-            # .persist(); release them between queries so a 103-query
+            # .persist(); release them between queries so a 109-query
             # session's storage memory stays flat instead of accumulating
             from fs2_osm_spark.operators.dedup import release_pins
 
             release_pins()
+        if name == "text_pack_bins":
+            from fs2_osm_spark.operators.packing import release_pins as rp
+
+            rp()
 
     print(f"\n{len(QUERIES)} queries, {len(failures)} failures: {failures}")
     return 1 if failures else 0
