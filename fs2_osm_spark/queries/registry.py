@@ -59,6 +59,7 @@ PRIORITY: list[str] = [
     "text_dataset_mix",
     "text_pii_redact",
     "text_repetition_filter",
+    "stream_stream_join",
     "sim_ivf_ann_md5",
     "img_rasterize_vectorize",
     "osm_lines_assembly",

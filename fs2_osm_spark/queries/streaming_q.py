@@ -198,3 +198,39 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "nation", "n", "total_value",
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           -- whole-second truncation BEFORE the difference, matching
+           -- Spark's ts.cast(long) (events carry sub-second components)
+           CAST((CAST(floor(epoch(b.ts)) AS BIGINT)
+                 - CAST(floor(epoch(a.ts)) AS BIGINT)) // 60 AS BIGINT)
+               AS minutes_to_purchase,
+           CAST(round(b.value, 4) AS DOUBLE) AS purchase_value
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click -> purchase within
+    1 h, per user) executed through Structured Streaming's two-stream
+    state machine; the oracle is the equivalent batch interval join, so
+    streaming must emit exactly the batch answer — a dropped buffered row
+    (premature state eviction) or a duplicate emission both break the
+    hash."""
+    from fs2_osm_spark.streaming.events import stream_stream_click_purchase
+
+    return stream_stream_click_purchase(spark, sf_dir)

@@ -215,3 +215,52 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         "total_value",
     )
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join: clicks joined to purchases by the same
+    user within the following hour — the canonical two-stream correlation
+    (attribution) shape. Both sides carry event-time watermarks and the
+    join condition carries the time bound, which is what lets the engine
+    BOUND the join state: a buffered click can be evicted once the
+    purchase-side watermark passes click_ts + 1h (unbounded-state
+    stream-stream joins are the classic production outage). Inner joins
+    emit matches as they arrive, so a bounded replay drains completely."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    out = run_to_memory(joined, "stream_stream_cp", "append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        ((F.col("p_ts").cast("long") - F.col("c_ts").cast("long")) / 60)
+        .cast("bigint")
+        .alias("minutes_to_purchase"),
+        F.round("purchase_value", 4).cast("double").alias("purchase_value"),
+    )
