@@ -88,22 +88,26 @@ def distributed_prefix_sum(
     for p in sorted(sums):
         offsets[p] = running
         running += sums[p]
+    expected = dict(sums)
 
     # pass 2: add each range-partition's start offset to the local running
     # sum (narrow; mapInPandas preserves the sorted in-partition order
     # across Arrow batches, and the per-_pid carry handles both batch
     # splits and any coalescing of ranges into one task)
-    bc = df.sparkSession.sparkContext.broadcast(offsets)
+    bc = df.sparkSession.sparkContext.broadcast((offsets, expected))
     out_fields = [c for c in ranged.schema.fieldNames() if c != "_pid"] + [out_col]
     schema = df.schema.add(out_col, "long")
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs, exp = bc.value
         carry: dict[int, int] = {}
         for pdf in it:
+            if pdf.empty:  # a zero-row Arrow batch: nothing to emit
+                continue
             pdf = pdf.copy()
             out = []
             for pid_val, grp in pdf.groupby("_pid", sort=False):
-                base = carry.get(pid_val, bc.value.get(pid_val, 0))
+                base = carry.get(pid_val, offs.get(pid_val, 0))
                 vals = grp[value_col].to_numpy()
                 csum = vals.cumsum()
                 grp = grp.copy()
@@ -111,6 +115,23 @@ def distributed_prefix_sum(
                 carry[pid_val] = base + (int(csum[-1]) if len(vals) else 0)
                 out.append(grp)
             yield pd.concat(out)[out_fields]
+        # Fail-fast guard for the release_pins() contract: if the pinned
+        # ranged frame was recomputed under a DIFFERENT physical
+        # partitioning (e.g. post-release AQE coalesce renumbers
+        # spark_partition_id), the _pid column no longer matches the
+        # collected offset map. A merged/renumbered pid shows up here as
+        # a per-pid running total that disagrees with pass 1 — raise
+        # instead of emitting silently wrong prefix sums.
+        for pid_val, end in carry.items():
+            want = offs.get(pid_val, 0) + exp.get(pid_val, 0)
+            if pid_val not in exp or end != want:
+                raise RuntimeError(
+                    "distributed_prefix_sum: ranged frame was recomputed "
+                    f"with a different partitioning (pid {pid_val}: saw "
+                    f"running total {end}, pass 1 expected {want}). "
+                    "Re-run distributed_prefix_sum instead of re-executing "
+                    "a result after release_pins()."
+                )
 
     return ranged.mapInPandas(fn, schema)
 

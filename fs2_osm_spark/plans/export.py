@@ -102,16 +102,19 @@ def run_export(
             lines, polys, ways=ways_t, relations=rels_t, relations_ways=rw_t
         ),
     }
-    if sink_parallelism > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    try:
+        if sink_parallelism > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=sink_parallelism) as ex:
-            futures = {n: ex.submit(sink, df, n) for n, df in phase_b.items()}
-            for n, fut in futures.items():
-                fut.result()  # propagate the first failure
-    else:
-        for n, df in phase_b.items():
-            sink(df, n)
-    lines.unpersist()
-    polys.unpersist()
+            with ThreadPoolExecutor(max_workers=sink_parallelism) as ex:
+                futures = {n: ex.submit(sink, df, n) for n, df in phase_b.items()}
+                for n, fut in futures.items():
+                    fut.result()  # propagate the first failure
+        else:
+            for n, df in phase_b.items():
+                sink(df, n)
+    finally:
+        # a failed sink must not leak the Phase-B caches for the session
+        lines.unpersist()
+        polys.unpersist()
     return summary

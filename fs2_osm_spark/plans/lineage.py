@@ -90,9 +90,17 @@ class LineageLog:
         # JVM-side at execution: ~0.2s per append.
         import pandas as pd
 
-        pdf = pd.DataFrame(
-            rows, columns=[f.name for f in base.fields]
-        ).astype({"partition_id": "Int64"})
+        pdf = pd.DataFrame(rows, columns=[f.name for f in base.fields])
+        # Session-independence: the caller's SparkSession may have Arrow
+        # disabled (Spark's default — e.g. the external driver that runs
+        # registered queries). Under the non-Arrow fallback a pandas
+        # nullable Int64 NA degrades to float nan, which LongType field
+        # verification rejects. An object-dtype column holding Python ints
+        # and None converts to a nullable long on BOTH paths (Arrow casts
+        # via the explicit schema; the pickled fallback accepts None/int).
+        pdf["partition_id"] = pd.Series(
+            [r[2] for r in rows], dtype=object
+        ).where(lambda s: s.notna(), None)
         df = self.spark.createDataFrame(pdf, base).withColumn(
             "attempt_ts", F.current_timestamp()
         )

@@ -101,6 +101,36 @@ def test_table_format_swap_reruns_lineage_resume(spark, source):
     assert calls["write"] >= 10 and calls["read"] >= 2  # all IO routed
 
 
+def test_record_is_arrow_conf_independent(spark, source):
+    """Registered queries run under the DRIVER's own SparkSession, where
+    spark.sql.execution.arrow.pyspark.enabled defaults to FALSE. The r05
+    regression: a pandas Int64 NA in record()'s batch-level 'ok' row became
+    float nan on the non-Arrow fallback and LongType verification raised.
+    Run the full crash/resume lifecycle with Arrow explicitly disabled."""
+    conf = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        with tempfile.TemporaryDirectory() as root:
+            # direct record(): mixed None (ok row) + int (partition rows)
+            log = LineageLog(spark, root)
+            log.record("b0", 10, 2, 5, partition_rows=[(0, 4), (1, 6)])
+            m = log.metrics().collect()
+            assert {r.status for r in m} == {"ok", "partition"}
+            assert [r.partition_id for r in m if r.status == "ok"] == [None]
+            assert sorted(
+                r.partition_id for r in m if r.status == "partition"
+            ) == [0, 1]
+        with tempfile.TemporaryDirectory() as root:
+            # full lifecycle under the arrow-off session
+            with pytest.raises(RuntimeError, match="injected failure"):
+                run_batched(spark, source, "batch", root, _transform, fail_after=2)
+            assert run_batched(spark, source, "batch", root, _transform) == 3
+            assert len(LineageLog(spark, root).completed()) == 5
+    finally:
+        spark.conf.set(conf, prev)
+
+
 def test_iceberg_format_fails_clearly_without_catalog(spark, source):
     """Selecting iceberg without catalog jars must fail with a descriptive
     error at the first write, not a ClassNotFound mid-job."""
