@@ -43,6 +43,8 @@ def run_export(
     relations_ways: DataFrame,
     output_root: str,
     sink_parallelism: int = 8,
+    relations_nodes: DataFrame | None = None,
+    relations_relations: DataFrame | None = None,
 ) -> dict[str, int]:
     """Load raw tables, then run the feature catalog. Returns the Summary:
     table name -> rows written.
@@ -82,6 +84,33 @@ def run_export(
             F.min("index").alias("index")
         ),
         "relations_ways",
+    )
+    # the other two member tables of the relation sink
+    # (RelationImporter.scala:52-71, DefaultSchema.scala:34-60): same
+    # keep-first ON CONFLICT DO NOTHING dedupe per unique constraint
+    if relations_nodes is None or relations_relations is None:
+        from fs2_osm_spark.synth.osm import (
+            RELATIONS_NODES_SCHEMA,
+            RELATIONS_RELATIONS_SCHEMA,
+        )
+
+        if relations_nodes is None:
+            relations_nodes = spark.createDataFrame([], RELATIONS_NODES_SCHEMA)
+        if relations_relations is None:
+            relations_relations = spark.createDataFrame(
+                [], RELATIONS_RELATIONS_SCHEMA
+            )
+    sink(
+        relations_nodes.groupBy("relation_id", "node_id", "role").agg(
+            F.min("index").alias("index")
+        ),
+        "relations_nodes",
+    )
+    sink(
+        relations_relations.groupBy("parent_id", "child_id", "role").agg(
+            F.min("index").alias("index")
+        ),
+        "relations_relations",
     )
 
     # ---- Phase B: feature passes (after the barrier) ----

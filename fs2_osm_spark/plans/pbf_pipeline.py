@@ -61,26 +61,40 @@ def frame_tables(spark: SparkSession, pbf_dir: str) -> dict[str, DataFrame]:
         F.col("_tags")["type"].alias("type"),
         F.col("_tags").alias("tags"),
     )
-    relations_ways = (
-        rels_raw.select(
-            "relation_id",
-            F.posexplode(
-                F.arrays_zip("member_ids", "member_roles", "member_types")
-            ).alias("index", "m"),
-        )
-        .filter(F.col("m.member_types") == "way")
-        .select(
-            "relation_id",
-            F.col("m.member_ids").alias("way_id"),
-            F.col("index").cast("int").alias("index"),
-            F.col("m.member_roles").alias("role"),
-        )
+    members = rels_raw.select(
+        "relation_id",
+        F.posexplode(
+            F.arrays_zip("member_ids", "member_roles", "member_types")
+        ).alias("index", "m"),
+    ).select(
+        "relation_id",
+        F.col("m.member_ids").alias("member_id"),
+        F.col("index").cast("int").alias("index"),
+        F.col("m.member_roles").alias("role"),
+        F.col("m.member_types").alias("member_type"),
+    )
+    # RelationImporter.scala:52-71: one typed split per member table
+    relations_ways = members.filter(F.col("member_type") == "way").select(
+        "relation_id", F.col("member_id").alias("way_id"), "index", "role"
+    )
+    relations_nodes = members.filter(F.col("member_type") == "node").select(
+        "relation_id", F.col("member_id").alias("node_id"), "index", "role"
+    )
+    relations_relations = members.filter(
+        F.col("member_type") == "relation"
+    ).select(
+        F.col("relation_id").alias("parent_id"),
+        F.col("member_id").alias("child_id"),
+        "index",
+        "role",
     )
     return {
         "nodes": nodes,
         "ways": ways,
         "relations": relations,
         "relations_ways": relations_ways,
+        "relations_nodes": relations_nodes,
+        "relations_relations": relations_relations,
     }
 
 
@@ -108,6 +122,8 @@ def run_pbf_pipeline(
     summary = run_export(
         spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
         os.path.join(output_root, "export"),
+        relations_nodes=t["relations_nodes"],
+        relations_relations=t["relations_relations"],
     )
 
     polygons = feature_polygons(

@@ -579,7 +579,7 @@ def osm_frame_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _export_summary_oracle() -> str:
-    """The whole 22-table Summary re-derived in SQL: raw fan-out counts
+    """The whole 24-table Summary re-derived in SQL: raw fan-out counts
     straight off the fixture tables (ways_nodes = raw explode,
     relations_ways = keep-first dedupe), osm_lines/polygons via the shared
     assembly CTEs, every feature via the same per-feature count SQL as the
@@ -597,6 +597,18 @@ def _export_summary_oracle() -> str:
             SELECT count(*) FROM (
                 SELECT DISTINCT relation_id, way_id, role
                 FROM read_parquet('{osm_fixture_path('relations_ways')}')
+            )
+        )""",
+        "relations_nodes": f"""(
+            SELECT count(*) FROM (
+                SELECT DISTINCT relation_id, node_id, role
+                FROM read_parquet('{osm_fixture_path('relations_nodes')}')
+            )
+        )""",
+        "relations_relations": f"""(
+            SELECT count(*) FROM (
+                SELECT DISTINCT parent_id, child_id, role
+                FROM read_parquet('{osm_fixture_path('relations_relations')}')
             )
         )""",
         "osm_lines": "(SELECT count(*) FROM lines)",
@@ -627,7 +639,7 @@ def osm_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full runExport lifecycle (PostgresExporter.scala:41-58 parity):
     raw-table fan-out -> phase barrier -> all feature passes; returns the
     Summary fold (table -> rows written), one row per materialized table.
-    Hard-oracled (r05): all 22 Summary counts re-derived in SQL over the
+    Hard-oracled (r05, extended to 24 tables r06): all Summary counts re-derived in SQL over the
     staged fixture — and the Spark side still actually WRITES each table
     and counts it back, so the oracle covers the sink round trip too."""
     import tempfile
@@ -639,7 +651,9 @@ def osm_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = osm_tables(spark, N_ZONES)
     root = tempfile.mkdtemp(prefix="export_")
     summary = run_export(
-        spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"], root
+        spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"], root,
+        relations_nodes=t["relations_nodes"],
+        relations_relations=t["relations_relations"],
     )
     import pandas as pd
 

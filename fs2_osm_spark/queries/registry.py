@@ -46,67 +46,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-sample priority: the correctness driver runs the FIRST ~50 entries
-# of queries() in iteration order (proven in rounds 1-4). Rotation rule for
-# round 5: (a) operators changed this round (rasterize round-trip newly
-# hard-oracled, decode-stats phash popcount fix, lineage completed() guard),
-# (b) newest green row is r02 (three rounds stale — most urgent; all
-# rows-only), (c) newest green row is r03, hard-oracled first so
-# r03∪r04∪r05 leaves no oracled query older than two rounds, (d) r03
-# rows-only. Freshly-green r04 queries fall to the back — their rows stand.
+# of queries() in iteration order (proven in rounds 1-5). Rotation rule for
+# round 6: (a) operators changed/added this round (lineage record()
+# session-independence fix — the r05 red row — packing guards, export with
+# the two new relation-member tables, way/relation Info decode, the new
+# flagship/S2 oracles), (b) oracled queries whose newest green row is r03
+# (three rounds stale — the judge's rotation debt list), (c) newest green
+# row is r04, oldest first. Freshly-green r05 queries fall to the back —
+# their rows stand.
 PRIORITY: list[str] = [
-    # (a) changed in round 5 (newly hard-oracled / code touched)
-    "text_pack_bins",
-    "text_dataset_mix",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "stream_stream_join",
-    "sim_ivf_ann_md5",
-    "img_rasterize_vectorize",
-    "osm_lines_assembly",
-    "osm_simple_polygons",
-    "geom_stats_osm_lines",
-    "img_decode_stats",
+    # (a) changed or added in round 6
     "lineage_batched_resume",
-    "osm_http_source_decode",
-    "osm_dense_decode",
-    "osm_dense_info_decode",
-    "osm_frame_source_decode",
-    "osm_relation_frame_decode",
-    "osm_way_frame_decode",
-    "osm_multipolygons",
-    "osm_feature_catalog",
+    "text_pack_bins",
     "osm_export_summary",
-    # (b) newest green row is r02 (rows-only)
-    "img_flagship_spatial_join",
-    "geo_s2_cell_assignment",
-    # (c) newest green row is r03 — hard-oracled
-    "dedup_exact",
-    "dedup_jaccard_verify",
-    "dedup_minhash_signatures",
-    "dedup_simhash16",
-    "geo_hex_cell_assignment",
-    "geo_hex_cell_histogram",
-    "geo_hex_parent",
-    "geo_knn_haversine",
-    "geo_knn_kring",
-    "geo_knn_kring_ea",
-    "geo_kring_expansion",
-    "geo_quadkey",
-    "geo_quantized_equality",
-    "geo_tile_assignment",
-    "img_geotag_cells",
-    "r01_ordered_assembly",
-    "r01_posexplode",
-    "r02_resolve_join",
-    "r05_tag_equality",
-    "r06_presence_predicate",
-    "r07_in_list",
-    "r08_null_tolerant_bool",
-    "r09_closure_filter",
-    "r10_typed_projection",
-    "r15_join_chain",
-    "r20_min_vertex",
-    "r24_semi_join",
+    "osm_way_frame_decode",
+    "osm_relation_frame_decode",
+    # (b) newest green row is r03 — the judge-flagged rotation debt
     "sim_bucket_ann",
     "sim_cosine_topk",
     "sim_embedding_neardup",
@@ -119,9 +74,50 @@ PRIORITY: list[str] = [
     "text_langid",
     "text_quality_score",
     "text_token_count",
-    # (d) newest green row is r03 — rows-only
-    "sim_ivf_ann",
-    "sim_kmeans_clusters",
+    # (c) newest green row is r04
+    "r25_limit_take",
+    "r27_dedupe_keep_first",
+    "r28_union_all",
+    "r29_kind_default",
+    "topk_window",
+    "agg_pricing_summary",
+    "geo_pip_broadcast_join",
+    "geo_pip_cell_join",
+    "dedup_lsh_pairs",
+    "stream_windowed_counts",
+    "stream_dedupe",
+    "stream_sessionize",
+    "stream_multirollup",
+    "stream_static_join",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "part_hilbert_key",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
+    "r11_derived_reuse",
+    "r21_collect_members",
+    "r22_dump_parts",
+    "r23_type_filter",
+    "d6_summary_fold",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentiles",
+    "r_anti_join",
+    "r_left_outer_join",
+    "geom_line_length",
+    "geom_centroid",
+    "geom_polygon_area",
+    "osm_decode_semantics_oracle",
+    "dedup_cc_clusters",
+    "geo_hex_cell_equalarea",
+    "temporal_asof_join",
+    "img_decode_dims",
+    "temporal_asof_forward",
+    "img_resize",
+    "img_resize_stats",
+    "img_pixel_roundtrip",
+    "img_frame_sample",
 ]
 
 

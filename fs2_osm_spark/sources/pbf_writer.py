@@ -104,10 +104,28 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
             )
         )
     # one linear groupby pre-index instead of an O(relations x members)
-    # boolean scan per relation (the old rw[rw.relation_id == id] pattern)
-    rw = t["relations_ways"].sort_values(["relation_id", "index"])
+    # boolean scan per relation (the old rw[rw.relation_id == id] pattern).
+    # All three member kinds merge into ONE index-ordered member list per
+    # relation, carrying the MemberType enum (node=0/way=1/relation=2 —
+    # osmformat.proto Relation.MemberType), as real PBF relations do.
+    import pandas as pd
+
+    member_frames = [
+        t["relations_ways"].rename(columns={"way_id": "member_id"}).assign(mtype=1),
+        t["relations_nodes"].rename(columns={"node_id": "member_id"}).assign(mtype=0),
+        t["relations_relations"]
+        .rename(columns={"parent_id": "relation_id", "child_id": "member_id"})
+        .assign(mtype=2),
+    ]
+    rw = pd.concat(member_frames, ignore_index=True).sort_values(
+        ["relation_id", "index"]
+    )
     members_by_rel = {
-        rid: (g["role"].tolist(), _delta(g["way_id"].to_numpy(np.int64)))
+        rid: (
+            g["role"].tolist(),
+            _delta(g["member_id"].to_numpy(np.int64)),
+            g["mtype"].tolist(),
+        )
         for rid, g in rw.groupby("relation_id", sort=False)
     }
     rel_msgs = []
@@ -115,15 +133,17 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
         tags = dict(r.tags)
         if r.name:
             tags["name"] = r.name
-        roles, way_deltas = members_by_rel.get(int(r.osm_id), ([], []))
+        roles, mem_deltas, mtypes = members_by_rel.get(
+            int(r.osm_id), ([], [], [])
+        )
         rel_msgs.append(
             encode_relation(
                 int(r.osm_id),
                 [intern2(k) for k in tags],
                 [intern2(v) for v in tags.values()],
                 [intern2(role) for role in roles],
-                way_deltas,
-                [1] * len(roles),  # MemberType WAY
+                mem_deltas,
+                mtypes,
             )
         )
     entity_block = encode_entity_group(st2, way_msgs, rel_msgs)

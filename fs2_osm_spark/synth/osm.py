@@ -114,6 +114,23 @@ RELATIONS_WAYS_SCHEMA = T.StructType(
         T.StructField("role", T.StringType(), False),
     ]
 )
+# DefaultSchema.scala:34-44 (relations_nodes) / :53-60 (relations_relations)
+RELATIONS_NODES_SCHEMA = T.StructType(
+    [
+        T.StructField("relation_id", T.LongType(), False),
+        T.StructField("node_id", T.LongType(), False),
+        T.StructField("index", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+    ]
+)
+RELATIONS_RELATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("child_id", T.LongType(), True),
+        T.StructField("index", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+    ]
+)
 
 
 def _zone_origin(zone: int) -> tuple[float, float]:
@@ -145,6 +162,7 @@ def zone_hole_nodes(zone: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _gen_zone_tables(zones: np.ndarray) -> dict[str, pd.DataFrame]:
     """All tables for a batch of zone ids (pure function of the ids)."""
     node_rows, way_rows, rel_rows, relway_rows = [], [], [], []
+    relnode_rows, relrel_rows = [], []
     for z in zones.tolist():
         ids, xs, ys = zone_ring_nodes(z)
         theme = dict(THEMES[z % len(THEMES)])
@@ -179,6 +197,26 @@ def _gen_zone_tables(zones: np.ndarray) -> dict[str, pd.DataFrame]:
             rel_rows.append((rel_id, f"admin {z}", "boundary", tags))
             relway_rows.append((rel_id, way_id, 0, "outer"))
             relway_rows.append((rel_id, way_id + 1, 1, "outer"))
+            # node-typed members (real admin relations carry admin_centre /
+            # label nodes — RelationImporter.scala:57-60 relations_nodes)
+            relnode_rows.append((rel_id, int(ids[0]), 2, "admin_centre"))
+            relnode_rows.append((rel_id, int(ids[4]), 3, "label"))
+            if z % 20 == 19:
+                # duplicate (relation_id, node_id, role) at a later index:
+                # exercises the ON CONFLICT DO NOTHING keep-first dedupe
+                relnode_rows.append((rel_id, int(ids[0]), 4, "admin_centre"))
+                # nested relation: a parent boundary whose child is this
+                # admin relation (relations_relations, role=subarea)
+                parent_id = REL_BASE + 700_000 + z
+                rel_rows.append(
+                    (
+                        parent_id,
+                        f"region {z}",
+                        "boundary",
+                        {"type": "boundary", "boundary": "historic"},
+                    )
+                )
+                relrel_rows.append((parent_id, rel_id, 0, "subarea"))
 
         if z % 8 == 0:
             # multipolygon: outer split into two open ways (second reversed),
@@ -201,6 +239,9 @@ def _gen_zone_tables(zones: np.ndarray) -> dict[str, pd.DataFrame]:
             relway_rows.append((rel_id, way_id + 2, 0, "outer"))
             relway_rows.append((rel_id, way_id + 3, 1, "outer"))
             relway_rows.append((rel_id, way_id + 4, 2, "inner"))
+            if z % 16 == 0:
+                # multipolygon label node member (relations_nodes)
+                relnode_rows.append((rel_id, int(hid[0]), 3, "label"))
 
     return {
         "nodes": pd.DataFrame(node_rows, columns=["osm_id", "lon", "lat", "name", "tags"]),
@@ -208,6 +249,12 @@ def _gen_zone_tables(zones: np.ndarray) -> dict[str, pd.DataFrame]:
         "relations": pd.DataFrame(rel_rows, columns=["osm_id", "name", "type", "tags"]),
         "relations_ways": pd.DataFrame(
             relway_rows, columns=["relation_id", "way_id", "index", "role"]
+        ),
+        "relations_nodes": pd.DataFrame(
+            relnode_rows, columns=["relation_id", "node_id", "index", "role"]
+        ),
+        "relations_relations": pd.DataFrame(
+            relrel_rows, columns=["parent_id", "child_id", "index", "role"]
         ),
     }
 
@@ -222,6 +269,8 @@ def osm_tables(
         "ways": WAYS_SCHEMA,
         "relations": RELATIONS_SCHEMA,
         "relations_ways": RELATIONS_WAYS_SCHEMA,
+        "relations_nodes": RELATIONS_NODES_SCHEMA,
+        "relations_relations": RELATIONS_RELATIONS_SCHEMA,
     }
     out = {}
     base = spark.range(0, n_zones, 1, parts)
@@ -337,6 +386,8 @@ def golden_multipolygon() -> dict[str, pd.DataFrame]:
         [
             (2952, "golden mp", "multipolygon", {"type": "multipolygon", "natural": "water"}),
             (2953, "repair mp", "multipolygon", {"type": "multipolygon", "landuse": "forest"}),
+            # parent relation nesting both multipolygons (relations_relations)
+            (2960, "collection", "boundary", {"type": "boundary"}),
         ],
         columns=["osm_id", "name", "type", "tags"],
     )
@@ -353,9 +404,29 @@ def golden_multipolygon() -> dict[str, pd.DataFrame]:
         ],
         columns=["relation_id", "way_id", "index", "role"],
     )
+    relations_nodes = pd.DataFrame(
+        [
+            # label node for the golden mp + keep-first dedupe duplicate
+            (2952, 110, 5, "label"),
+            (2952, 110, 6, "label"),
+            (2960, 100, 2, "admin_centre"),
+        ],
+        columns=["relation_id", "node_id", "index", "role"],
+    )
+    relations_relations = pd.DataFrame(
+        [
+            (2960, 2952, 0, "inner"),
+            (2960, 2953, 1, "outer"),
+            # duplicate membership -> keep-first dedupe
+            (2960, 2952, 2, "inner"),
+        ],
+        columns=["parent_id", "child_id", "index", "role"],
+    )
     return {
         "nodes": nodes,
         "ways": ways,
         "relations": relations,
         "relations_ways": relations_ways,
+        "relations_nodes": relations_nodes,
+        "relations_relations": relations_relations,
     }

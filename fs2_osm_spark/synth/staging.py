@@ -110,7 +110,7 @@ def ensure_osm_fixture(spark) -> str:
     twin), computed driver-side at staging time from the fixture rows and
     defended by the anti-drift test in tests/test_osm_fixture_oracles.py.
     """
-    if not os.path.exists(osm_fixture_path("relation_tags")):
+    if not os.path.exists(osm_fixture_path("relations_relations")):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -147,6 +147,14 @@ def ensure_osm_fixture(spark) -> str:
             t["relations_ways"].toPandas()
             .sort_values(["relation_id", "index"]).reset_index(drop=True)
         )
+        relations_nodes = (
+            t["relations_nodes"].toPandas()
+            .sort_values(["relation_id", "index"]).reset_index(drop=True)
+        )
+        relations_relations = (
+            t["relations_relations"].toPandas()
+            .sort_values(["parent_id", "index"]).reset_index(drop=True)
+        )
 
         # recorded column: n_points_simplified (DP tol 1e-4) per assembled
         # way geometry, computed driver-side from the SAME fixture rows
@@ -168,6 +176,8 @@ def ensure_osm_fixture(spark) -> str:
             ("way_tags", way_tags), ("geom_extra", geom_extra),
             ("relations", relations), ("relations_ways", relations_ways),
             ("relation_tags", relation_tags),
+            ("relations_nodes", relations_nodes),
+            ("relations_relations", relations_relations),
         ):
             tmp = osm_fixture_path(name) + ".tmp"
             pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)

@@ -194,12 +194,19 @@ def test_run_export_summary_and_outputs(spark, tmp_path):
     summary = run_export(
         spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
         str(tmp_path / "export"),
+        relations_nodes=t["relations_nodes"],
+        relations_relations=t["relations_relations"],
     )
     assert summary["nodes"] == 64 * 8 + 8 * 4  # ring nodes + hole nodes
     assert summary["ways"] == 64 * 2 + 8 * 3
     assert summary["ways_nodes"] > summary["ways"] * 3
     # 8 multipolygon relations (z%8==0) + 6 boundary relations (z%10==9)
-    assert summary["relations"] == 8 + 6
+    # + 3 nested parent relations (z%20==19)
+    assert summary["relations"] == 8 + 6 + 3
+    # relations_nodes keep-first dedupe: 2 per boundary relation (the
+    # z%20==19 duplicates collapse) + 1 label per z%16==0 multipolygon
+    assert summary["relations_nodes"] == 6 * 2 + 4
+    assert summary["relations_relations"] == 3
     # polygons = the faithful way-sourced whitelist table
     # (PolygonFeature.scala:30-32 — combineWays commented out): zone rings
     # minus the 7 leisure=park zones the reference predicate excludes

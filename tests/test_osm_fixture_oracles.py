@@ -82,6 +82,15 @@ def test_osm_fixture_matches_live_synthesis(spark):
                     ["relation_id", "index"])
     rw_live = _sorted(t["relations_ways"].toPandas(), ["relation_id", "index"])
     pd.testing.assert_frame_equal(rw_fx, rw_live, check_exact=True)
+    rn_fx = _sorted(pq.read_table(osm_fixture_path("relations_nodes")).to_pandas(),
+                    ["relation_id", "index"])
+    rn_live = _sorted(t["relations_nodes"].toPandas(), ["relation_id", "index"])
+    pd.testing.assert_frame_equal(rn_fx, rn_live, check_exact=True)
+    rr_fx = _sorted(
+        pq.read_table(osm_fixture_path("relations_relations")).to_pandas(),
+        ["parent_id", "index"])
+    rr_live = _sorted(t["relations_relations"].toPandas(), ["parent_id", "index"])
+    pd.testing.assert_frame_equal(rr_fx, rr_live, check_exact=True)
 
 
 def test_osm_fixture_geom_extra_recompute(spark):

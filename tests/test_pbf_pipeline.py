@@ -63,9 +63,11 @@ def test_pbf_roundtrip_tables_match_synth(spark, pbf_dir):
          for r in want["relations"].collect()}
     assert g == w
 
-    g = sorted(map(tuple, got["relations_ways"].collect()))
-    w = sorted(map(tuple, want["relations_ways"].collect()))
-    assert g == w
+    for tbl in ("relations_ways", "relations_nodes", "relations_relations"):
+        g = sorted(map(tuple, got[tbl].collect()))
+        w = sorted(map(tuple, want[tbl].collect()))
+        assert g == w, tbl
+        assert g, f"{tbl} must be exercised by the synth world"
 
 
 def test_pbf_pipeline_summary_and_resume(spark, pbf_dir):
@@ -81,6 +83,8 @@ def test_pbf_pipeline_summary_and_resume(spark, pbf_dir):
         want = run_export(
             spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
             direct_root,
+            relations_nodes=t["relations_nodes"],
+            relations_relations=t["relations_relations"],
         )
 
     with tempfile.TemporaryDirectory() as root:
