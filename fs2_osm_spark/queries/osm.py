@@ -723,19 +723,39 @@ def _wire_fixture(spark: SparkSession):
     from fs2_osm_spark.sources.pbf_frames import encode_block, write_frames
     from fs2_osm_spark.sources.proto_wire import (
         encode_entity_group,
+        encode_info,
         encode_relation,
         encode_way,
     )
 
-    st = ["", "highway", "residential", "type", "multipolygon", "outer", "inner"]
+    st = [
+        "", "highway", "residential", "type", "multipolygon", "outer",
+        "inner", "alice", "bob",
+    ]
+    # even ways carry Info (S10, field 4), odd ways omit it — the decoder
+    # must produce the proto defaults (version -1, rest null) for the latter
     ways = [
-        encode_way(100 + i, keys=[1], vals=[2], refs=[10 * i + 1, 2, 3])
+        encode_way(
+            100 + i, keys=[1], vals=[2], refs=[10 * i + 1, 2, 3],
+            info=(
+                encode_info(
+                    version=i % 3 + 1, timestamp=1_600_000_000 + i,
+                    changeset=7_000 + i, uid=5 + i % 2, user_sid=7,
+                )
+                if i % 2 == 0
+                else None
+            ),
+        )
         for i in range(20)
     ]
     rels = [
         encode_relation(
             900 + i, keys=[3], vals=[4], roles_sid=[5, 6],
             memids=[100 + i, 1], types=[1, 1],
+            info=encode_info(
+                version=i + 1, timestamp=1_600_000_100 + i,
+                changeset=7_100 + i, uid=6, user_sid=8,
+            ),
         )
         for i in range(5)
     ]
@@ -759,7 +779,14 @@ _WAY_FRAME_ORACLE = """
            '{"highway": "residential"}' AS tags_json,
            CAST(3 AS BIGINT) AS n_refs,
            CAST(10 * i + 1 AS BIGINT) AS first_ref,
-           CAST(10 * i + 6 AS BIGINT) AS last_ref
+           CAST(10 * i + 6 AS BIGINT) AS last_ref,
+           CAST(CASE WHEN i % 2 = 0 THEN i % 3 + 1 ELSE -1 END AS BIGINT)
+               AS version,
+           CAST(CASE WHEN i % 2 = 0 THEN (1600000000 + CAST(i AS BIGINT)) * 1000 END
+               AS BIGINT) AS epoch_ms,
+           CAST(CASE WHEN i % 2 = 0 THEN 7000 + i END AS BIGINT) AS changeset,
+           CAST(CASE WHEN i % 2 = 0 THEN 5 + i % 2 END AS BIGINT) AS uid,
+           CASE WHEN i % 2 = 0 THEN 'alice' END AS "user"
     FROM range(0, 20) t(i)
     """
 
@@ -779,6 +806,11 @@ def osm_way_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("refs").cast("bigint").alias("n_refs"),
         F.element_at("refs", 1).alias("first_ref"),
         F.element_at("refs", -1).alias("last_ref"),
+        F.col("version").cast("bigint").alias("version"),
+        "epoch_ms",
+        "changeset",
+        "uid",
+        "user",
     )
 
 
@@ -788,7 +820,12 @@ _REL_FRAME_ORACLE = """
            CAST(2 AS BIGINT) AS n_members,
            'outer,inner' AS roles_csv,
            'way,way' AS types_csv,
-           CAST(101 + i AS BIGINT) AS last_member_id
+           CAST(101 + i AS BIGINT) AS last_member_id,
+           CAST(i + 1 AS BIGINT) AS version,
+           CAST((1600000100 + CAST(i AS BIGINT)) * 1000 AS BIGINT) AS epoch_ms,
+           CAST(7100 + i AS BIGINT) AS changeset,
+           CAST(6 AS BIGINT) AS uid,
+           'bob' AS "user"
     FROM range(0, 5) t(i)
     """
 
@@ -797,9 +834,10 @@ _REL_FRAME_ORACLE = """
 def osm_relation_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation groups decoded from real protobuf PBF frames (S9 at wire
     level: delta member ids, roles/types — RelationImporter.scala:21-70).
-    Hard-oracled (r05): member deltas [100+i, 1] decode to [100+i, 101+i];
-    roles_sid [5, 6] and types [1, 1] resolve to outer/inner and way/way
-    through the hand-built string table."""
+    Hard-oracled (r05; Info columns r06): member deltas [100+i, 1] decode
+    to [100+i, 101+i]; roles_sid [5, 6] and types [1, 1] resolve to
+    outer/inner and way/way through the hand-built string table; every
+    relation carries Info (model.scala:81-105) resolved the same way."""
     from fs2_osm_spark.sources.pbf_frames import read_relations_from_frames
 
     rels = read_relations_from_frames(spark, _wire_fixture(spark))
@@ -810,6 +848,11 @@ def osm_relation_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("member_roles", ",").alias("roles_csv"),
         F.array_join("member_types", ",").alias("types_csv"),
         F.element_at("member_ids", -1).alias("last_member_id"),
+        F.col("version").cast("bigint").alias("version"),
+        "epoch_ms",
+        "changeset",
+        "uid",
+        "user",
     )
 
 

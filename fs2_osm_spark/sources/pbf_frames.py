@@ -127,11 +127,29 @@ def read_nodes_from_frames(spark: SparkSession, path: str) -> DataFrame:
     return files.select("content").mapInPandas(fn, DECODED_NODES_SCHEMA)
 
 
-WAYS_FRAME_SCHEMA = "way_id long, tags_json string, refs array<long>"
+_INFO_COLS = ", version int, epoch_ms long, changeset long, uid long, user string"
+WAYS_FRAME_SCHEMA = "way_id long, tags_json string, refs array<long>" + _INFO_COLS
 RELS_FRAME_SCHEMA = (
     "relation_id long, tags_json string, member_ids array<long>,"
-    " member_roles array<string>, member_types array<string>"
+    " member_roles array<string>, member_types array<string>" + _INFO_COLS
 )
+
+
+def _info_tuple(info: dict | None, st: list[str], date_granularity: int) -> tuple:
+    """Entity-level Info (S10, model.scala:81-105): username through the
+    block string table, timestamp scaled by date_granularity to epoch ms.
+    Absent Info -> proto defaults (version -1, rest null)."""
+    if not info:
+        return (-1, None, None, None, None)
+    ts = info["timestamp"]
+    sid = info["user_sid"]
+    return (
+        info["version"],
+        ts * date_granularity if ts is not None else None,
+        info["changeset"],
+        info["uid"],
+        st[sid] if sid is not None and sid < len(st) else None,
+    )
 
 
 def read_ways_from_frames(spark: SparkSession, path: str) -> DataFrame:
@@ -150,6 +168,7 @@ def read_ways_from_frames(spark: SparkSession, path: str) -> DataFrame:
                 for payload in iter_frames(bytes(content)):
                     b = decode_block(payload)
                     st = b["string_table"]
+                    dg = int(b.get("date_granularity", 1000))
                     for w in b["ways"]:
                         tags = {st[k]: st[v] for k, v in zip(w["keys"], w["vals"])}
                         rows.append(
@@ -158,8 +177,15 @@ def read_ways_from_frames(spark: SparkSession, path: str) -> DataFrame:
                                 _json.dumps(tags, sort_keys=True),
                                 decode_delta_refs(w["refs"]),
                             )
+                            + _info_tuple(w.get("info"), st, dg)
                         )
-            yield pd.DataFrame(rows, columns=["way_id", "tags_json", "refs"])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "way_id", "tags_json", "refs",
+                    "version", "epoch_ms", "changeset", "uid", "user",
+                ],
+            )
 
     return files.select("content").mapInPandas(fn, WAYS_FRAME_SCHEMA)
 
@@ -182,6 +208,7 @@ def read_relations_from_frames(spark: SparkSession, path: str) -> DataFrame:
                 for payload in iter_frames(bytes(content)):
                     b = decode_block(payload)
                     st = b["string_table"]
+                    dg = int(b.get("date_granularity", 1000))
                     for r in b["relations"]:
                         tags = {st[k]: st[v] for k, v in zip(r["keys"], r["vals"])}
                         rows.append(
@@ -192,12 +219,14 @@ def read_relations_from_frames(spark: SparkSession, path: str) -> DataFrame:
                                 [st[i] for i in r["roles_sid"]],
                                 [MEMBER_TYPES[t] for t in r["types"]],
                             )
+                            + _info_tuple(r.get("info"), st, dg)
                         )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "relation_id", "tags_json", "member_ids",
                     "member_roles", "member_types",
+                    "version", "epoch_ms", "changeset", "uid", "user",
                 ],
             )
 

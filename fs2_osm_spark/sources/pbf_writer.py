@@ -32,10 +32,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fs2_osm_spark.sources.proto_wire import (
     encode_entity_group,
+    encode_info,
     encode_primitive_block,
     encode_relation,
     encode_way,
 )
+
+
+def synth_info_fields(osm_id: int) -> tuple[int, int, int, int, str]:
+    """Deterministic entity Info (version, timestamp s, changeset, uid,
+    user) as a pure function of the id — the wire carries real S10 metadata
+    without widening the relational tables (the reference decodes Info for
+    every entity, model.scala:81-105, but its schema stores none of it)."""
+    return (
+        osm_id % 7 + 1,
+        1_500_000_000 + osm_id % 86_400,
+        osm_id % 1_000 + 1,
+        osm_id % 5 + 1,
+        f"mapper{osm_id % 5 + 1}",
+    )
 
 
 def _delta(vals) -> list[int]:
@@ -90,6 +105,13 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
             st2.append(x)
         return sid2[x]
 
+    def info_for(osm_id: int) -> bytes:
+        ver, ts, cs, uid, user = synth_info_fields(osm_id)
+        return encode_info(
+            version=ver, timestamp=ts, changeset=cs, uid=uid,
+            user_sid=intern2(user),
+        )
+
     way_msgs = []
     for r in t["ways"].itertuples():
         tags = dict(r.tags)
@@ -101,6 +123,7 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
                 [intern2(k) for k in tags],
                 [intern2(v) for v in tags.values()],
                 _delta(r.nodes),
+                info=info_for(int(r.osm_id)),
             )
         )
     # one linear groupby pre-index instead of an O(relations x members)
@@ -144,6 +167,7 @@ def encode_zone_blocks(zones: np.ndarray) -> list[bytes]:
                 [intern2(role) for role in roles],
                 mem_deltas,
                 mtypes,
+                info=info_for(int(r.osm_id)),
             )
         )
     entity_block = encode_entity_group(st2, way_msgs, rel_msgs)

@@ -158,6 +158,54 @@ def encode_dense_info(
     return bytes(out)
 
 
+def encode_info(
+    version: int = -1,
+    timestamp: int | None = None,
+    changeset: int | None = None,
+    uid: int | None = None,
+    user_sid: int | None = None,
+) -> bytes:
+    """Entity-level Info (osmformat.proto:139-152, the non-dense metadata
+    carried by Way/Relation/Node field 4 — reference model.scala:81-105
+    decodes it for every entity kind): plain varint fields, NOT delta-coded
+    (delta chains only exist in DenseInfo)."""
+    out = bytearray()
+    if version != -1:
+        write_varint_field(out, 1, version)
+    if timestamp is not None:
+        write_varint_field(out, 2, timestamp)
+    if changeset is not None:
+        write_varint_field(out, 3, changeset)
+    if uid is not None:
+        write_varint_field(out, 4, uid)
+    if user_sid is not None:
+        write_varint_field(out, 5, user_sid)
+    return bytes(out)
+
+
+def decode_info(data: bytes) -> dict:
+    """Info message -> {version, timestamp, changeset, uid, user_sid}
+    (missing fields keep the proto defaults: version -1, others None)."""
+    info = {
+        "version": -1, "timestamp": None, "changeset": None,
+        "uid": None, "user_sid": None,
+    }
+    for field, wire, v in iter_fields(data):
+        if wire != _VARINT:
+            continue
+        if field == 1:
+            info["version"] = _to_signed32(v)
+        elif field == 2:
+            info["timestamp"] = _to_signed64(v)
+        elif field == 3:
+            info["changeset"] = _to_signed64(v)
+        elif field == 4:
+            info["uid"] = _to_signed32(v)
+        elif field == 5:
+            info["user_sid"] = v
+    return info
+
+
 def encode_primitive_block(
     ids,
     lats,
@@ -284,15 +332,22 @@ MEMBER_TYPES = ("node", "way", "relation")  # osmformat.proto Relation.MemberTyp
 
 
 def encode_way(
-    way_id: int, keys: list[int], vals: list[int], refs: list[int]
+    way_id: int,
+    keys: list[int],
+    vals: list[int],
+    refs: list[int],
+    info: bytes | None = None,
 ) -> bytes:
-    """Way message (osmformat.proto:230-239); refs are DELTA-coded sint64."""
+    """Way message (osmformat.proto:230-239); refs are DELTA-coded sint64;
+    optional Info metadata rides as field 4."""
     out = bytearray()
     write_varint_field(out, 1, way_id)
     if keys:
         write_packed_int32(out, 2, keys)
     if vals:
         write_packed_int32(out, 3, vals)
+    if info is not None:
+        write_len_field(out, 4, info)
     if refs:
         write_packed_sint64(out, 8, refs)
     return bytes(out)
@@ -305,14 +360,18 @@ def encode_relation(
     roles_sid: list[int],
     memids: list[int],
     types: list[int],
+    info: bytes | None = None,
 ) -> bytes:
-    """Relation message (osmformat.proto:241-258); memids DELTA-coded."""
+    """Relation message (osmformat.proto:241-258); memids DELTA-coded;
+    optional Info metadata rides as field 4."""
     out = bytearray()
     write_varint_field(out, 1, rel_id)
     if keys:
         write_packed_int32(out, 2, keys)
     if vals:
         write_packed_int32(out, 3, vals)
+    if info is not None:
+        write_len_field(out, 4, info)
     if roles_sid:
         write_packed_int32(out, 8, roles_sid)
     if memids:
@@ -343,7 +402,7 @@ def encode_entity_group(
 
 
 def _decode_way(data: bytes) -> dict:
-    way_id, keys, vals, refs = 0, [], [], []
+    way_id, keys, vals, refs, info = 0, [], [], [], None
     for field, wire, v in iter_fields(data):
         if field == 1 and wire == _VARINT:
             way_id = _to_signed64(v)
@@ -351,13 +410,18 @@ def _decode_way(data: bytes) -> dict:
             keys = read_packed_varints(v)
         elif field == 3 and wire == _LEN:
             vals = read_packed_varints(v)
+        elif field == 4 and wire == _LEN:
+            info = decode_info(v)
         elif field == 8 and wire == _LEN:
             refs = [unzigzag(x) for x in read_packed_varints(v)]
-    return {"way_id": way_id, "keys": keys, "vals": vals, "refs": refs}
+    return {
+        "way_id": way_id, "keys": keys, "vals": vals, "refs": refs,
+        "info": info,
+    }
 
 
 def _decode_relation(data: bytes) -> dict:
-    rel_id, keys, vals, roles, memids, types = 0, [], [], [], [], []
+    rel_id, keys, vals, roles, memids, types, info = 0, [], [], [], [], [], None
     for field, wire, v in iter_fields(data):
         if field == 1 and wire == _VARINT:
             rel_id = _to_signed64(v)
@@ -365,6 +429,8 @@ def _decode_relation(data: bytes) -> dict:
             keys = read_packed_varints(v)
         elif field == 3 and wire == _LEN:
             vals = read_packed_varints(v)
+        elif field == 4 and wire == _LEN:
+            info = decode_info(v)
         elif field == 8 and wire == _LEN:
             roles = read_packed_varints(v)
         elif field == 9 and wire == _LEN:
@@ -374,6 +440,7 @@ def _decode_relation(data: bytes) -> dict:
     return {
         "rel_id": rel_id, "keys": keys, "vals": vals,
         "roles_sid": roles, "memids": memids, "types": types,
+        "info": info,
     }
 
 

@@ -70,6 +70,31 @@ def test_pbf_roundtrip_tables_match_synth(spark, pbf_dir):
         assert g, f"{tbl} must be exercised by the synth world"
 
 
+def test_wire_info_round_trip(spark, pbf_dir):
+    """S10 for ways/relations: the writer stamps deterministic Info
+    (synth_info_fields) on every way/relation; the frame readers must
+    decode version/epoch_ms/changeset/uid/user back exactly."""
+    from fs2_osm_spark.sources.pbf_frames import (
+        read_relations_from_frames,
+        read_ways_from_frames,
+    )
+    from fs2_osm_spark.sources.pbf_writer import synth_info_fields
+
+    for df, id_col in (
+        (read_ways_from_frames(spark, pbf_dir), "way_id"),
+        (read_relations_from_frames(spark, pbf_dir), "relation_id"),
+    ):
+        rows = df.select(
+            id_col, "version", "epoch_ms", "changeset", "uid", "user"
+        ).collect()
+        assert rows
+        for r in rows:
+            ver, ts, cs, uid, user = synth_info_fields(r[0])
+            assert (r.version, r.epoch_ms, r.changeset, r.uid, r.user) == (
+                ver, ts * 1000, cs, uid, user
+            ), r[0]
+
+
 def test_pbf_pipeline_summary_and_resume(spark, pbf_dir):
     """Full lifecycle golden counts: the export Summary from the wire path
     equals the direct path's Summary table-for-table; the flagship stage
