@@ -49,6 +49,20 @@ def tile_xyz(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
     return x, y
 
 
+def tile_xyz_np(lon, lat, z: int):
+    """Numpy twin of tile_xyz (driver-side ground-truth recording)."""
+    import numpy as np
+
+    n = float(1 << z)
+    lat_c = np.clip(np.asarray(lat, np.float64), -MERCATOR_LAT_MAX, MERCATOR_LAT_MAX)
+    lat_rad = np.radians(lat_c)
+    x = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n).astype(np.int64)
+    merc = np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad))
+    y = np.floor((1.0 - merc / math.pi) / 2.0 * n).astype(np.int64)
+    m = (1 << z) - 1
+    return np.clip(x, 0, m), np.clip(y, 0, m)
+
+
 def tile_xyz_sql(lon: str, lat: str, z: int) -> tuple[str, str]:
     """DuckDB SQL rendering of tile_xyz, formula-identical."""
     n = float(1 << z)

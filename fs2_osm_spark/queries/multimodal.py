@@ -30,8 +30,42 @@ N_IMAGES = 2_000
 @register("img_flagship_spatial_join", oracle=None)
 def img_flagship_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geotag -> hex cell -> PIP join -> tile assignment (the north-star
-    pipeline end-to-end)."""
+    pipeline end-to-end). Rows-only at the sf-scaled size; the identical
+    join path is hard-oracled at fixed small scale by
+    img_flagship_small_oracle."""
     return flagship_query(spark, sf_dir)
+
+
+def _flagship_small_oracle() -> str:
+    from fs2_osm_spark.synth.staging import FLAGSHIP_FIXTURE
+
+    return f"""
+    SELECT image_id, polygon_id, cell, tile_x, tile_y
+    FROM read_parquet('{FLAGSHIP_FIXTURE}')
+    """
+
+
+@register("img_flagship_small_oracle", oracle=_flagship_small_oracle())
+def img_flagship_small_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP join itself, hard-oracled (r06) at the fixed sf0.001
+    scale (2000 images / 128 zones): the Spark side runs the exact
+    production path (geotag -> broadcast cell cover -> interior fast path /
+    Catalyst ray-cast -> hex cell + z/x/y tiles); the oracle reads the
+    committed fixture recorded by a BRUTE-FORCE driver-side recomputation
+    (plain-python caption parse + numpy ray-cast over every polygon — no
+    cover, no grid, no Spark; synth/staging.py flagship_ground_truth).
+    Anti-drift pytest recomputes the fixture live in
+    tests/test_images_flagship.py."""
+    from fs2_osm_spark.synth.staging import (
+        FLAGSHIP_N_IMAGES,
+        FLAGSHIP_N_ZONES,
+        ensure_flagship_fixture,
+    )
+
+    ensure_flagship_fixture(spark)
+    return flagship_query(
+        spark, sf_dir, n_images=FLAGSHIP_N_IMAGES, n_zones=FLAGSHIP_N_ZONES
+    )
 
 
 def _decode_stats_oracle() -> str:

@@ -56,6 +56,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # their rows stand.
 PRIORITY: list[str] = [
     # (a) changed or added in round 6
+    "img_flagship_small_oracle",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

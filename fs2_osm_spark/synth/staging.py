@@ -249,3 +249,71 @@ def ensure_images_fixture() -> str:
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
         os.replace(tmp, IMAGES_FIXTURE)
     return IMAGES_FIXTURE
+
+
+FLAGSHIP_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "flagship_oracle.parquet")
+FLAGSHIP_N_IMAGES = 2_000
+FLAGSHIP_N_ZONES = 128
+
+
+def flagship_ground_truth(spark, image_ids=None) -> "pd.DataFrame":
+    """Driver-side recomputation of the flagship join at the sf0.001 scale
+    (2000 images / 128 zones): caption coords parsed with plain Python re,
+    polygon membership by BRUTE-FORCE numpy ray-cast over every polygon
+    (PolygonSet._match_scan — deliberately NOT the cell-cover machinery the
+    distributed query uses), hex cell / z-x-y tile via the numpy kernel
+    twins. The oracle therefore proves the whole distributed plumbing
+    (cover build, interior fast path, Catalyst ray-cast, broadcast join)
+    reproduces first-principles point-in-polygon answers."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from fs2_osm_spark.functions.geo import tile_xyz_np
+    from fs2_osm_spark.functions.hex import hex_cell_np
+    from fs2_osm_spark.operators.multimodal import CAPTION_COORD_RE
+    from fs2_osm_spark.plans.flagship import HEX_RES, TILE_Z, polygon_corpus
+
+    imgs = pq.read_table(
+        ensure_images_fixture(), columns=["image_id", "caption"]
+    ).to_pandas()
+    if image_ids is not None:
+        imgs = imgs[imgs.image_id.isin(set(image_ids))].reset_index(drop=True)
+    pat = re.compile(CAPTION_COORD_RE)
+    lats, lons = [], []
+    for cap in imgs["caption"]:
+        m = pat.search(cap)
+        lats.append(float(m.group(1)) if m else np.nan)
+        lons.append(float(m.group(2)) if m else np.nan)
+    px = np.asarray(lons, np.float64)
+    py = np.asarray(lats, np.float64)
+
+    ps = polygon_corpus(spark, FLAGSHIP_N_ZONES)
+    pt_idx, poly_ids = ps._match_scan(px, py)
+    out = pd.DataFrame(
+        {
+            "image_id": imgs["image_id"].to_numpy()[pt_idx],
+            "polygon_id": np.asarray(poly_ids, np.int64),
+            "cell": hex_cell_np(px[pt_idx], py[pt_idx], HEX_RES),
+        }
+    )
+    tx, ty = tile_xyz_np(px[pt_idx], py[pt_idx], TILE_Z)
+    out["tile_x"] = tx
+    out["tile_y"] = ty
+    return out.sort_values(["image_id", "polygon_id"]).reset_index(drop=True)
+
+
+def ensure_flagship_fixture(spark) -> str:
+    """Record the brute-force flagship ground truth (committed parquet;
+    anti-drift test recomputes it live in tests/test_images_flagship.py)."""
+    if not os.path.exists(FLAGSHIP_FIXTURE):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = flagship_ground_truth(spark)
+        os.makedirs(os.path.dirname(FLAGSHIP_FIXTURE), exist_ok=True)
+        tmp = FLAGSHIP_FIXTURE + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, FLAGSHIP_FIXTURE)
+    return FLAGSHIP_FIXTURE

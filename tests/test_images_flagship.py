@@ -206,3 +206,26 @@ def test_images_fixture_decoded_stats_match_decoder():
     got_psnr = pd.Series(derived["rt_psnr"], index=sample.index, dtype="float64")
     assert got_psnr.isna().equals(sample["rt_psnr"].isna())
     assert (got_psnr.dropna() == sample["rt_psnr"].dropna()).all()
+
+
+def test_flagship_fixture_anti_drift(spark):
+    """The committed flagship ground truth (fixtures/flagship_oracle.parquet)
+    recomputed live on a deterministic image sample: a drifted geotag
+    parser, PIP kernel, hex/tile math, or polygon corpus invalidates the
+    fixture loudly instead of the img_flagship_small_oracle quietly."""
+    import pyarrow.parquet as pq
+
+    from fs2_osm_spark.synth.staging import (
+        ensure_flagship_fixture,
+        flagship_ground_truth,
+    )
+
+    fx = pq.read_table(ensure_flagship_fixture(spark)).to_pandas()
+    sample_ids = sorted(set(fx["image_id"]))[::5]  # every 5th matched image
+    live = flagship_ground_truth(spark, image_ids=sample_ids)
+    sub = (
+        fx[fx.image_id.isin(set(sample_ids))]
+        .sort_values(["image_id", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sub, live, check_exact=True)
