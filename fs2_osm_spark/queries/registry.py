@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 PRIORITY: list[str] = [
     # (a) changed or added in round 6
     "img_flagship_small_oracle",
+    "geo_s2_cell_assignment",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

@@ -252,10 +252,90 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# S2 cell assignment (rows-only: the Hilbert-on-cube-face math has no
-# tractable SQL twin; invariants pinned in tests/test_geo_kernels.py).
+# S2 cell assignment — hard-oracled (r06) by a COMPLETE DuckDB twin of the
+# published S2 algorithm: unit-sphere xyz, cube-face dispatch, quadratic
+# uv->st, and the 30-level Hilbert walk as a recursive CTE carrying
+# (pos, orientation) with the canonical kIJtoPos/kPosToOrientation tables
+# rendered as SQL list literals. Signed-int64 view of the uint64 id is
+# reproduced with an explicit face>=4 wrap; the level-12 parent is the
+# same lsb bit-trick on two's-complement BIGINTs. Both engines matched
+# bit-for-bit over the full customer key range at prototype time;
+# invariants additionally pinned in tests/test_geo_kernels.py.
 # --------------------------------------------------------------------------
-@register("geo_s2_cell_assignment", oracle=None)
+def _s2_oracle() -> str:
+    from fs2_osm_spark.functions import geo
+    from fs2_osm_spark.functions.s2 import _IJ_TO_POS, _POS_TO_ORIENTATION
+
+    ij_to_pos = ",".join(
+        str(int(_IJ_TO_POS[o, k])) for o in range(4) for k in range(4)
+    )
+    pos_to_or = ",".join(str(int(x)) for x in _POS_TO_ORIENTATION)
+    lon = geo.synth_lon_sql("c_custkey")
+    lat = geo.synth_lat_sql("c_custkey")
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS point_id, {lon} AS lon, {lat} AS lat FROM customer
+    ),
+    xyz AS (
+      SELECT point_id,
+             cos(radians(lat)) * cos(radians(lon)) AS x,
+             cos(radians(lat)) * sin(radians(lon)) AS y,
+             sin(radians(lat)) AS z
+      FROM pts
+    ),
+    faced AS (
+      SELECT *,
+        CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                  THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+             WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+             ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+      FROM xyz
+    ),
+    fuv AS (
+      SELECT point_id, face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM faced
+    ),
+    stij AS (
+      SELECT point_id, face,
+        least(greatest(CAST(floor((CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u)
+            ELSE 1-0.5*sqrt(1-3*u) END) * 1073741824.0) AS BIGINT), 0),
+            1073741823) AS i,
+        least(greatest(CAST(floor((CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v)
+            ELSE 1-0.5*sqrt(1-3*v) END) * 1073741824.0) AS BIGINT), 0),
+            1073741823) AS j
+      FROM fuv
+    ),
+    hil AS (
+      SELECT point_id, face, i, j, 0 AS lvl, CAST(0 AS BIGINT) AS pos,
+             face % 2 AS orient
+      FROM stij
+      UNION ALL
+      SELECT point_id, face, i, j, lvl + 1,
+             pos * 4 + p,
+             xor(orient, [{pos_to_or}][p + 1])
+      FROM (
+        SELECT point_id, face, i, j, lvl, pos, orient,
+               [{ij_to_pos}][orient * 4 + ((i >> (29 - lvl)) & 1) * 2
+                             + ((j >> (29 - lvl)) & 1) + 1] AS p
+        FROM hil WHERE lvl < 30
+      )
+    ),
+    leaf AS (
+      SELECT point_id,
+             (CASE WHEN face < 4 THEN face ELSE face - 8 END)
+               * 2305843009213693952 + pos * 2 + 1 AS s2_l30
+      FROM hil WHERE lvl = 30
+    )
+    SELECT point_id, (s2_l30 & -68719476736) | 68719476736 AS s2_l12, s2_l30
+    FROM leaf
+    """
+
+
+@register("geo_s2_cell_assignment", oracle=_s2_oracle())
 def geo_s2_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
