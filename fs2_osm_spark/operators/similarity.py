@@ -164,18 +164,24 @@ def kmeans_fit(
     n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    init: list[tuple[int, np.ndarray]] | None = None,
+    round_decimals: int | None = None,
 ) -> list[tuple[int, np.ndarray]]:
     """Distributed Lloyd iterations over an embedding column.
 
-    Init = the deterministic hash-stride sample (ivf_centroids). Each round
+    Init = the deterministic hash-stride sample (ivf_centroids), or an
+    injected `init` list (e.g. the portable md5-strided sample). Each round
     is one narrow assign pass (vectorized numpy matmul per Arrow batch) and
     one (centroid, dim) shuffle aggregate; only the k x d centroid matrix —
     tiny — returns to the driver between rounds, so the plan scales with
     executors while the loop stays O(n_iters) jobs. Reproducible up to
     floating-sum reduce order (assignments are argmax over cosines, robust
-    to last-ulp drift except on exact ties).
+    to last-ulp drift except on exact ties); `round_decimals` quantizes the
+    updated centroids each round, pinning the iteration to a cross-engine
+    fixed point so an independent re-derivation (the sim_kmeans_fit_md5
+    DuckDB twin) lands on bit-identical centroids.
     """
-    centroids = ivf_centroids(corpus, k, id_col, vec_col)
+    centroids = init if init is not None else ivf_centroids(corpus, k, id_col, vec_col)
     if not centroids:
         raise ValueError("kmeans_fit: corpus is empty — no vectors to seed centroids")
     for _ in range(n_iters):
