@@ -211,6 +211,8 @@ def kmeans_fit(
             )
             for c, vec in centroids
         ]
+        if round_decimals is not None:
+            centroids = [(c, np.round(v, round_decimals)) for c, v in centroids]
     return centroids
 
 

@@ -58,6 +58,7 @@ PRIORITY: list[str] = [
     # (a) changed or added in round 6
     "img_flagship_small_oracle",
     "geo_s2_cell_assignment",
+    "sim_kmeans_fit_md5",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

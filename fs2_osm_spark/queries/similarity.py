@@ -422,6 +422,128 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", F.col("centroid_id").cast("bigint"))
 
 
+KMFIT_ITERS = 3
+KMFIT_ROUND = 9
+
+
+def _kmeans_fit_md5_oracle() -> str:
+    """Full Lloyd k-means fit UNROLLED in DuckDB SQL: the md5-strided init
+    sample, then KMFIT_ITERS chained (assign -> mean-update) CTE pairs —
+    per-dim means via the positional unnest zip, centroids quantized to
+    KMFIT_ROUND decimals each round (both engines round identically, which
+    pins the iteration to a shared fixed point — floating reduce-order
+    drift cannot compound across rounds). Empty clusters keep the previous
+    centroid via the LEFT JOIN coalesce, mirroring kmeans_fit."""
+    from fs2_osm_spark.functions.text import h16_sql
+
+    h = h16_sql("CAST(vec_id AS VARCHAR)")
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent_sel AS (
+        SELECT vec_id, v, {h} AS h FROM e
+        WHERE {h} % {IVF_MOD} = 0
+        ORDER BY h, vec_id LIMIT {IVF_K}
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+               list_transform(v, x -> round(x, {KMFIT_ROUND})) AS cv
+        FROM cent_sel
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, KMFIT_ITERS + 1):
+        parts.append(
+            f""",
+    a{it} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos('e.v', 'c.cv')} DESC,
+                                               c.cid) AS rn
+            FROM e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT cid, dim, round(sum(x) / count(*), {KMFIT_ROUND}) AS val
+        FROM (
+            SELECT a.cid,
+                   unnest(range(1, len(e.v) + 1)) AS dim,
+                   unnest(e.v) AS x
+            FROM a{it} a JOIN e ON e.vec_id = a.vec_id
+        ) GROUP BY cid, dim
+    ),
+    c{it} AS (
+        SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN (
+            SELECT cid, list(val ORDER BY dim) AS cv FROM m{it} GROUP BY cid
+        ) n ON n.cid = p.cid
+    )"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"""
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+           CAST(round(cos, 6) AS DOUBLE) AS cos_to_centroid
+    FROM (
+        SELECT e.vec_id, c.cid, {cos('e.v', 'c.cv')} AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+    """
+    )
+    return "".join(parts)
+
+
+@register("sim_kmeans_fit_md5", oracle=_kmeans_fit_md5_oracle())
+def sim_kmeans_fit_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATIVE Lloyd fit, hard-oracled end-to-end (r06) — the
+    portable twin of sim_kmeans_clusters, same pattern as the md5/xxhash
+    dedup pairs: md5-strided init (the sim_ivf_ann_md5 sample), then
+    KMFIT_ITERS full distributed assign+update rounds with centroids
+    quantized to KMFIT_ROUND decimals per round on BOTH engines (a shared
+    fixed point: cross-engine floating reduce-order drift ~1e-13 cannot
+    survive the 1e-9 quantizer, so the trajectories stay bit-identical).
+    The DuckDB twin unrolls the whole fit as chained SQL CTEs and
+    re-derives every assignment and centroid independently."""
+    import numpy as np
+
+    from fs2_osm_spark.functions.text import h16_sql
+    from fs2_osm_spark.operators.similarity import (
+        kmeans_assignments,
+        kmeans_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    h = F.expr(h16_sql("CAST(vec_id AS STRING)")).cast("bigint")
+    sampled = (
+        corpus.withColumn("h", h)
+        .filter(F.pmod(F.col("h"), F.lit(IVF_MOD)) == 0)
+        .orderBy("h", "vec_id")
+        .limit(IVF_K)
+        .collect()
+    )
+    init = [
+        (i, np.round(np.asarray(r.v, np.float64), KMFIT_ROUND))
+        for i, r in enumerate(sampled)
+    ]
+    model = kmeans_fit(
+        corpus, k=IVF_K, n_iters=KMFIT_ITERS, init=init,
+        round_decimals=KMFIT_ROUND,
+    )
+    return kmeans_assignments(corpus, model)
+
+
 @register("sim_kmeans_clusters", oracle=None)
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table (rows-only —
