@@ -59,6 +59,9 @@ PRIORITY: list[str] = [
     "img_flagship_small_oracle",
     "geo_s2_cell_assignment",
     "sim_kmeans_fit_md5",
+    "text_global_shuffle",
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

@@ -548,3 +548,79 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("cust_id"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregates — the approximate layer a 100 TB pipeline actually uses
+# (exact distinct/quantiles shuffle every value; sketches are fixed-size
+# mergeable state). The oracle pattern: Spark emits the EXACT value (hard
+# cross-engine check) plus a boolean asserting its own sketch landed inside
+# the sketch's error contract; the DuckDB twin re-derives the exact value
+# independently and pins the boolean to TRUE — so a broken or drifting
+# sketch breaks the hash even though the sketch itself is approximate.
+# --------------------------------------------------------------------------
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+           TRUE AS sketch_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting (approx_count_distinct, rsd=0.02)
+    checked against the exact count computed in the SAME Spark job; the
+    oracle recomputes the exact count in DuckDB and requires the sketch
+    error to stay inside 10% (5x the configured rsd — deterministic for a
+    given input since the HLL hash is fixed)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    )
+    err = F.abs(F.col("approx") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return agg.select(
+        "flag",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (err <= 0.10).alias("sketch_within_10pct"),
+    )
+
+
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(round(quantile_disc(l_extendedprice, 0.5), 2) AS DOUBLE)
+               AS exact_p50_disc,
+           TRUE AS sketch_within_rank_eps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate median (percentile_approx,
+    accuracy=10000) checked against its rank-error contract: the sketch's
+    answer must lie between the exact 0.5 +/- 3/accuracy quantiles
+    (computed exactly in the same job); the oracle re-derives the exact
+    discrete median in DuckDB and pins the contract boolean TRUE."""
+    li = load(spark, sf_dir, "lineitem")
+    eps = 3.0 / 10000.0
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_cont"),
+        F.expr(
+            f"percentile(l_extendedprice, array({0.5 - eps}, 0.5, {0.5 + eps}))"
+        ).alias("band"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("exact_disc"),
+    )
+    ok = (F.col("approx") >= F.element_at("band", 1)) & (
+        F.col("approx") <= F.element_at("band", 3)
+    )
+    return agg.select(
+        "flag",
+        F.round(F.col("exact_disc"), 2).cast("double").alias("exact_p50_disc"),
+        ok.alias("sketch_within_rank_eps"),
+    )

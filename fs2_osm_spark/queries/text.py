@@ -383,3 +383,39 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_ratio, 6).cast("double").alias("dup_2gram_ratio"),
         ((top_ratio <= 0.2) & (dup_ratio <= 0.9)).alias("keep"),
     )
+
+
+@register(
+    "text_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {h16_sql("doc_id || '|shuf'")},
+                                   doc_id) - 1 AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle rank for training-order assembly: every
+    document gets its position in a seeded hash order. The naive Spark
+    formulation (row_number over a global ORDER BY with no partitions)
+    collapses to ONE task; this runs the hash order through
+    distributed_prefix_sum (range shuffle + two narrow passes — the same
+    scale-safe machinery sequence packing uses), counting 1 per row, so
+    rank assignment parallelizes at any corpus size."""
+    from fs2_osm_spark.operators.packing import (
+        distributed_prefix_sum,
+        release_pins,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(h16_sql("doc_id || '|shuf'")).cast("bigint")
+    keyed = docs.select("doc_id").withColumn("h", h).withColumn(
+        "one", F.lit(1)
+    )
+    ranked = distributed_prefix_sum(
+        keyed, "one", ["h", "doc_id"], out_col="shuffle_rank"
+    ).select("doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"))
+    out = ranked.cache()
+    out.count()  # materialize before releasing the module's plan pins
+    release_pins()
+    return out
