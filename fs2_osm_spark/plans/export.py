@@ -71,23 +71,14 @@ def run_export(
     # ---- Phase A: raw tables (the importer fan-out) ----
     nodes_t = sink(nodes, "nodes")
     ways_t = sink(ways, "ways")
-    sink(
-        ways.select(
-            F.col("osm_id").alias("way_id"),
-            F.posexplode("nodes").alias("index", "node_id"),
-        ).select("way_id", "node_id", "index"),
-        "ways_nodes",
-    )
     rels_t = sink(relations, "relations")
-    sink(
-        relations_ways.groupBy("relation_id", "way_id", "role").agg(
-            F.min("index").alias("index")
-        ),
-        "relations_ways",
-    )
-    # the other two member tables of the relation sink
-    # (RelationImporter.scala:52-71, DefaultSchema.scala:34-60): same
-    # keep-first ON CONFLICT DO NOTHING dedupe per unique constraint
+    # the member tables of the way/relation sinks (WayImporter.scala:25-53,
+    # RelationImporter.scala:52-71, DefaultSchema.scala:34-60): exploded
+    # ways_nodes plus the three typed relation-member tables with the
+    # keep-first ON CONFLICT DO NOTHING dedupe per unique constraint.
+    # They are derived independently from already-materialized inputs, so
+    # their four small sink jobs run CONCURRENTLY — sequential submission
+    # paid four driver round-trips of fixed latency for no ordering gain.
     if relations_nodes is None or relations_relations is None:
         from fs2_osm_spark.synth.osm import (
             RELATIONS_NODES_SCHEMA,
@@ -100,18 +91,33 @@ def run_export(
             relations_relations = spark.createDataFrame(
                 [], RELATIONS_RELATIONS_SCHEMA
             )
-    sink(
-        relations_nodes.groupBy("relation_id", "node_id", "role").agg(
-            F.min("index").alias("index")
-        ),
-        "relations_nodes",
-    )
-    sink(
-        relations_relations.groupBy("parent_id", "child_id", "role").agg(
-            F.min("index").alias("index")
-        ),
-        "relations_relations",
-    )
+    member_tables = {
+        "ways_nodes": ways.select(
+            F.col("osm_id").alias("way_id"),
+            F.posexplode("nodes").alias("index", "node_id"),
+        ).select("way_id", "node_id", "index"),
+        "relations_ways": relations_ways.groupBy(
+            "relation_id", "way_id", "role"
+        ).agg(F.min("index").alias("index")),
+        "relations_nodes": relations_nodes.groupBy(
+            "relation_id", "node_id", "role"
+        ).agg(F.min("index").alias("index")),
+        "relations_relations": relations_relations.groupBy(
+            "parent_id", "child_id", "role"
+        ).agg(F.min("index").alias("index")),
+    }
+    if sink_parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(member_tables)) as ex:
+            futures = {
+                n: ex.submit(sink, df, n) for n, df in member_tables.items()
+            }
+            for n, fut in futures.items():
+                fut.result()
+    else:
+        for n, df in member_tables.items():
+            sink(df, n)
 
     # ---- Phase B: feature passes (after the barrier) ----
     lines = build_osm_lines(ways_t, nodes_t).cache()
