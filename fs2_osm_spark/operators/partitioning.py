@@ -102,3 +102,55 @@ def hilbert_range_partition(
     base.createOrReplaceTempView("__h0")
     keyed = spark.sql(hilbert_sql_layers(id_cols, order))
     return keyed.repartitionByRange(n_partitions, "hilbert")
+
+
+def hilbert_keys(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    order: int,
+    id_cols: list[str],
+) -> DataFrame:
+    """Hilbert key per row via the shared SQL form (no repartition)."""
+    spark = df.sparkSession
+    tx, ty = tile_xyz(F.col(lon_col), F.col(lat_col), order)
+    base = df.select(*id_cols, tx.alias("hx"), ty.alias("hy"))
+    base.createOrReplaceTempView("__h0")
+    return spark.sql(hilbert_sql_layers(id_cols, order))
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    order: int,
+    id_cols: list[str],
+    bucket_div: int = 1024,
+) -> int:
+    """Materialize a spatially CLUSTERED layout: rows keyed by Hilbert
+    distance, bucketed by `hilbert // bucket_div`, written as one parquet
+    partition directory per bucket (hive `h_bucket=` layout). Because the
+    Hilbert curve is locality-preserving, a spatial range predicate maps
+    to a CONTIGUOUS bucket range, and a reader filtering on h_bucket gets
+    partition pruning straight from the file listing — at 100 TB this is
+    the difference between listing a few directories and scanning the
+    world. Returns the number of buckets written."""
+    keyed = hilbert_keys(df, lon_col, lat_col, order, id_cols).withColumn(
+        "h_bucket", (F.col("hilbert") / bucket_div).cast("bigint")
+    )
+    # one shuffle by bucket so each partition dir is written by few tasks
+    keyed.repartition("h_bucket").write.partitionBy("h_bucket").mode(
+        "overwrite"
+    ).parquet(path)
+    return keyed.select("h_bucket").distinct().count()
+
+
+def read_hilbert_bucket_range(
+    spark, path: str, lo: int, hi: int
+) -> DataFrame:
+    """Scan only the bucket directories in [lo, hi] — the h_bucket filter
+    is a partition-column predicate, so Spark prunes at file listing time
+    (plan shows it in PartitionFilters; tests assert inputFiles shrink)."""
+    df = spark.read.parquet(path)
+    return df.filter((F.col("h_bucket") >= lo) & (F.col("h_bucket") <= hi))

@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "text_global_shuffle",
     "agg_approx_distinct",
     "agg_approx_quantiles",
+    "part_hilbert_pruned_scan",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

@@ -94,3 +94,56 @@ def part_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base.createOrReplaceTempView("__h0")
     return spark.sql(hilbert_sql_layers(["point_id"], _HILBERT_ORDER))
+
+
+_HB_DIV = 1024
+_HB_LO, _HB_HI = 10, 13
+
+
+@register(
+    "part_hilbert_pruned_scan",
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs/derived
+    # tables, and referencing `hilbert` twice (SELECT + WHERE) through the
+    # 8-level nested transform makes the optimizer's expression tree blow
+    # up (measured: 0.05s single-reference chain -> >100s wrapped; 0.04s
+    # with the materialization barrier).
+    oracle=f"""
+    WITH keyed AS MATERIALIZED ({hilbert_sql_layers(["point_id"],
+        _HILBERT_ORDER).replace("__h0", _HILBERT_SRC, 1)})
+    SELECT point_id, CAST(floor(hilbert / {_HB_DIV}) AS BIGINT) AS h_bucket
+    FROM keyed
+    WHERE CAST(floor(hilbert / {_HB_DIV}) AS BIGINT)
+          BETWEEN {_HB_LO} AND {_HB_HI}
+    """,
+)
+def part_hilbert_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAYOUT half of Hilbert partitioning (r06): write the point set
+    as a Hilbert-bucket-partitioned parquet table (hive h_bucket= dirs),
+    then read back one contiguous bucket range — the filter is a
+    partition-column predicate, so the scan prunes at file-listing time
+    (tests/test_scale_operators.py asserts inputFiles shrink and the plan
+    carries the PartitionFilters entry). The oracle re-derives every
+    point's bucket arithmetically in DuckDB and applies the same range, so
+    a mis-bucketed write OR an over/under-pruned read breaks the hash."""
+    import tempfile
+
+    from fs2_osm_spark.functions.geo import synth_lat, synth_lon
+    from fs2_osm_spark.operators.partitioning import (
+        read_hilbert_bucket_range,
+        write_hilbert_clustered,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderkey").alias("point_id"),
+        synth_lon(F.col("o_orderkey")).alias("lon"),
+        synth_lat(F.col("o_orderkey")).alias("lat"),
+    )
+    path = tempfile.mkdtemp(prefix="hilbert_layout_")
+    write_hilbert_clustered(
+        pts, path, "lon", "lat", _HILBERT_ORDER, ["point_id"],
+        bucket_div=_HB_DIV,
+    )
+    return read_hilbert_bucket_range(spark, path, _HB_LO, _HB_HI).select(
+        "point_id", F.col("h_bucket").cast("bigint").alias("h_bucket")
+    )

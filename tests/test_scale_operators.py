@@ -372,3 +372,46 @@ def test_hamming_candidate_volume_bounded(spark):
     u_probe, u_ex8, u_old = multiprobe_volume(5), exact_volume(9), exact_volume(13)
     assert u_probe < u_ex8 / 5, (u_probe, u_ex8)
     assert u_probe < u_old / 20, (u_probe, u_old)
+
+
+def test_hilbert_clustered_layout_prunes(spark, tmp_path):
+    """The Hilbert-bucketed layout must (a) produce one hive partition dir
+    per bucket, (b) give the bucket-range reader a partition-column
+    predicate (PartitionFilters in the scan, i.e. pruning happens at file
+    listing, not post-scan), and (c) return exactly the rows a full scan +
+    filter returns."""
+    import os
+
+    from fs2_osm_spark.functions.geo import synth_lat, synth_lon
+    from fs2_osm_spark.operators.partitioning import (
+        read_hilbert_bucket_range,
+        write_hilbert_clustered,
+    )
+    from pyspark.sql import functions as F
+
+    pts = spark.range(0, 4000).select(
+        F.col("id").alias("point_id"),
+        synth_lon(F.col("id")).alias("lon"),
+        synth_lat(F.col("id")).alias("lat"),
+    )
+    path = str(tmp_path / "layout")
+    n_buckets = write_hilbert_clustered(
+        pts, path, "lon", "lat", 8, ["point_id"], bucket_div=1024
+    )
+    dirs = [d for d in os.listdir(path) if d.startswith("h_bucket=")]
+    assert len(dirs) == n_buckets > 10
+
+    pruned = read_hilbert_bucket_range(spark, path, 10, 13)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "h_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+    full = spark.read.parquet(path).filter(
+        (F.col("h_bucket") >= 10) & (F.col("h_bucket") <= 13)
+    )
+    got = sorted(r.point_id for r in pruned.collect())
+    want = sorted(r.point_id for r in full.collect())
+    assert got == want and got
+    # listing-level pruning: the in-range dirs are a small subset
+    in_range = [d for d in dirs if 10 <= int(d.split("=")[1]) <= 13]
+    assert 0 < len(in_range) < len(dirs) // 2
