@@ -915,3 +915,86 @@ def osm_dense_info_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("bigint").alias("version"),
         "epoch_ms", "changeset", "uid", "user",
     )
+
+
+def _apply_diff_oracle() -> str:
+    from fs2_osm_spark.synth.staging import osm_fixture_path
+
+    nodes = osm_fixture_path("nodes")
+    return f"""
+    WITH base AS (
+        SELECT osm_id, lon, lat, 1 AS version, 'base' AS op, 0 AS rnk
+        FROM read_parquet('{nodes}')
+    ),
+    diff AS (
+        SELECT osm_id, lon + 0.001 AS lon, lat, 2 AS version,
+               'modify' AS op, 1 AS rnk
+        FROM read_parquet('{nodes}') WHERE osm_id % 7 = 0
+        UNION ALL
+        SELECT osm_id, lon, lat, 3 AS version, 'delete' AS op, 2 AS rnk
+        FROM read_parquet('{nodes}') WHERE osm_id % 13 = 0
+        UNION ALL
+        SELECT 90000000 + i AS osm_id,
+               7.0 + i * 0.01 AS lon, 51.0 + i * 0.005 AS lat,
+               1 AS version, 'create' AS op, 1 AS rnk
+        FROM range(0, 50) t(i)
+    ),
+    merged AS (
+        SELECT osm_id, lon, lat, op,
+               row_number() OVER (PARTITION BY osm_id
+                                  ORDER BY version DESC, rnk DESC) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM diff)
+    )
+    SELECT osm_id,
+           CAST(trunc(lon * 1000000.0) AS BIGINT) AS qlon,
+           CAST(trunc(lat * 1000000.0) AS BIGINT) AS qlat
+    FROM merged WHERE rn = 1 AND op <> 'delete'
+    """
+
+
+@register("osm_apply_diff", oracle=_apply_diff_oracle())
+def osm_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OsmChange-style incremental merge (r06, beyond the reference's
+    planet-only ingest): a deterministic change set — modify every 7th
+    node (+0.001 lon, v2), tombstone every 13th (v3 delete, which also
+    overrides the modify where both apply), create 50 new nodes — applied
+    with operators/diff.py apply_diff (union -> one key shuffle -> max_by
+    (version, op-rank) struct -> drop deletes). The oracle re-derives the
+    same change set arithmetically from the staged fixture and merges it
+    with a window, so survivor choice, delete-beats-modify ordering, and
+    payload propagation are all independently checked."""
+    from fs2_osm_spark.operators.diff import apply_diff
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture
+
+    ensure_osm_fixture(spark)
+    t = osm_tables(spark, N_ZONES)
+    # the base feeds four scans (base + three diff branches): cache the
+    # tiny synth output once instead of re-running the generator per branch
+    base = t["nodes"].select("osm_id", "lon", "lat").cache()
+    modify = base.filter(F.col("osm_id") % 7 == 0).select(
+        "osm_id",
+        (F.col("lon") + 0.001).alias("lon"),
+        "lat",
+        F.lit(2).alias("version"),
+        F.lit("modify").alias("op"),
+    )
+    delete = base.filter(F.col("osm_id") % 13 == 0).select(
+        "osm_id", "lon", "lat",
+        F.lit(3).alias("version"), F.lit("delete").alias("op"),
+    )
+    create = spark.range(0, 50).select(
+        (F.lit(90_000_000) + F.col("id")).alias("osm_id"),
+        (F.lit(7.0) + F.col("id") * 0.01).alias("lon"),
+        (F.lit(51.0) + F.col("id") * 0.005).alias("lat"),
+        F.lit(1).alias("version"),
+        F.lit("create").alias("op"),
+    )
+    diff = modify.unionByName(delete).unionByName(create)
+    out = apply_diff(base, diff)
+    from fs2_osm_spark.functions.geo import quantize
+
+    return out.select(
+        "osm_id",
+        quantize(F.col("lon")).alias("qlon"),
+        quantize(F.col("lat")).alias("qlat"),
+    )

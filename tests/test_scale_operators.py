@@ -415,3 +415,36 @@ def test_hilbert_clustered_layout_prunes(spark, tmp_path):
     # listing-level pruning: the in-range dirs are a small subset
     in_range = [d for d in dirs if 10 <= int(d.split("=")[1]) <= 13]
     assert 0 < len(in_range) < len(dirs) // 2
+
+
+def test_apply_diff_semantics(spark):
+    """CDC merge corner cases: delete tombstone outranks a same-version
+    modify, a later modify resurrects nothing (delete has higher version),
+    creates append, and untouched rows pass through."""
+    import pandas as pd
+    from fs2_osm_spark.operators.diff import apply_diff
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {"osm_id": [1, 2, 3, 4], "lon": [1.0, 2.0, 3.0, 4.0],
+             "lat": [0.0, 0.0, 0.0, 0.0]}
+        )
+    )
+    diff = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (2, 2.5, 0.0, 2, "modify"),   # plain upsert
+                (3, 3.0, 0.0, 2, "modify"),   # same version as delete below
+                (3, 3.0, 0.0, 2, "delete"),   # tombstone wins the tie
+                (4, 4.5, 0.0, 3, "delete"),
+                (5, 5.0, 0.0, 1, "create"),
+            ],
+            columns=["osm_id", "lon", "lat", "version", "op"],
+        )
+    )
+    got = {
+        r.osm_id: r.lon
+        for r in apply_diff(base, diff).collect()
+    }
+    assert got == {1: 1.0, 2: 2.5, 5: 5.0}
