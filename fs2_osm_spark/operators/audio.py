@@ -1,0 +1,74 @@
+"""Audio feature extraction over an opaque binary column (multimodal op).
+
+Decode + per-clip features run inside Arrow batches (mapInPandas) — the
+per-clip work is inherently per-row, but everything around it (schema,
+partitioning, batch shape) is plain DataFrame machinery, and the kernels
+are vectorized numpy per clip (no Python sample loops):
+
+- duration_s:  n_samples / sr  (from the decoded stream, not the metadata)
+- rms:         sqrt(mean(x^2))
+- zcr:         sign-change fraction (voiced/unvoiced proxy)
+- dom_freq_hz: argmax |rFFT| bin excluding DC, scaled to Hz — recovers the
+  synthesized fundamental (pytest asserts it lands on the id-derived tone)
+- clip_ratio:  fraction of samples at the PCM rails (quality screen)
+
+A 100 TB audio corpus processes exactly like the image path: bytes never
+enter joins or shuffles; features project out early and the binary column
+is pruned from downstream scans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from fs2_osm_spark.synth.audio import decode_wav
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+        T.StructField("dom_freq_hz", T.DoubleType(), False),
+        T.StructField("clip_ratio", T.DoubleType(), False),
+    ]
+)
+
+
+def clip_features(raw: bytes) -> tuple[float, float, float, float]:
+    """-> (rms, zcr, dom_freq_hz, clip_ratio, duration_s) for one clip."""
+    x, sr = decode_wav(bytes(raw))
+    n = len(x)
+    rms = float(np.sqrt(np.mean(x * x)))
+    signs = np.signbit(x)
+    zcr = float(np.mean(signs[1:] != signs[:-1]))
+    mag = np.abs(np.fft.rfft(x))
+    mag[0] = 0.0  # exclude DC
+    dom = float(np.argmax(mag) * sr / n)
+    clip_ratio = float(np.mean(np.abs(x) >= 32766.0 / 32767.0))
+    return rms, zcr, dom, clip_ratio, n / sr
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rms, zcr, dom, clip_ratio, dur = clip_features(r.bytes)
+                rows.append((r.audio_id, dur, rms, zcr, dom, clip_ratio))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "duration_s", "rms", "zcr",
+                    "dom_freq_hz", "clip_ratio",
+                ],
+            )
+
+    return clips.select("audio_id", "bytes").mapInPandas(
+        fn, AUDIO_FEATURES_SCHEMA
+    )

@@ -339,3 +339,41 @@ def img_rasterize_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(c).cast("bigint").alias(c)
           for c in ("z", "x", "y", "covered_px", "n_rings_vectorized")]
     )
+
+
+def _audio_features_oracle() -> str:
+    from fs2_osm_spark.synth.staging import AUDIO_FIXTURE
+
+    return f"""
+    SELECT audio_id,
+           round(duration_s, 6) AS duration_s,
+           round(rms, 6) AS rms,
+           round(zcr, 6) AS zcr,
+           round(dom_freq_hz, 6) AS dom_freq_hz,
+           round(clip_ratio, 6) AS clip_ratio
+    FROM read_parquet('{AUDIO_FIXTURE}')
+    """
+
+
+@register("audio_features", oracle=_audio_features_oracle())
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality (r06): real RIFF/WAV PCM16 decode + vectorized
+    per-clip features (duration from the decoded stream, RMS,
+    zero-crossing rate, dominant rFFT frequency, clip ratio) inside Arrow
+    batches — no external audio library needed, the container format is
+    pure byte layout. Hard-oracled against fixture-recorded ground truth
+    (anti-drift test recomputes a sample live; the dominant frequency is
+    additionally pinned to the id-derived synthesis tone in pytest)."""
+    from fs2_osm_spark.operators.audio import audio_features
+    from fs2_osm_spark.synth.audio import audio_table
+    from fs2_osm_spark.synth.staging import N_FIXTURE_CLIPS, ensure_audio_fixture
+
+    ensure_audio_fixture()
+    feats = audio_features(audio_table(spark, N_FIXTURE_CLIPS))
+    return feats.select(
+        "audio_id",
+        *[
+            F.round(c, 6).cast("double").alias(c)
+            for c in ("duration_s", "rms", "zcr", "dom_freq_hz", "clip_ratio")
+        ],
+    )

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "agg_approx_quantiles",
     "part_hilbert_pruned_scan",
     "osm_apply_diff",
+    "audio_features",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

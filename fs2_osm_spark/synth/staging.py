@@ -317,3 +317,35 @@ def ensure_flagship_fixture(spark) -> str:
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
         os.replace(tmp, FLAGSHIP_FIXTURE)
     return FLAGSHIP_FIXTURE
+
+
+AUDIO_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "audio_oracle.parquet")
+N_FIXTURE_CLIPS = 1_000
+
+
+def ensure_audio_fixture() -> str:
+    """Stage the deterministic audio corpus + its recorded features
+    (the images_oracle.parquet pattern): the bytes column gives pytest the
+    real WAVs, the feature columns give the DuckDB oracle ground truth
+    recorded with the same numpy kernels the distributed query runs;
+    the anti-drift test recomputes a sample live."""
+    if not os.path.exists(AUDIO_FIXTURE):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fs2_osm_spark.operators.audio import clip_features
+        from fs2_osm_spark.synth.audio import generate_audio_batch
+
+        pdf = generate_audio_batch(np.arange(N_FIXTURE_CLIPS, dtype=np.int64))
+        feats = np.empty((len(pdf), 5))
+        for k, r in enumerate(pdf.itertuples()):
+            feats[k] = clip_features(r.bytes)
+        pdf["rms"], pdf["zcr"], pdf["dom_freq_hz"] = (
+            feats[:, 0], feats[:, 1], feats[:, 2]
+        )
+        pdf["clip_ratio"], pdf["duration_s"] = feats[:, 3], feats[:, 4]
+        os.makedirs(os.path.dirname(AUDIO_FIXTURE), exist_ok=True)
+        tmp = AUDIO_FIXTURE + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, AUDIO_FIXTURE)
+    return AUDIO_FIXTURE
