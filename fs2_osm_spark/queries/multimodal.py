@@ -377,3 +377,67 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("duration_s", "rms", "zcr", "dom_freq_hz", "clip_ratio")
         ],
     )
+
+
+N_VIDEOS = 100
+VIDEO_FRAMES = 16
+VIDEO_STRIDE = 4
+
+
+def _video_frame_stats_oracle() -> str:
+    """Ground truth computed from the RAW synthesis arrays — before the
+    PNG encode and the AVI container ever exist — so the oracle checks the
+    whole container-walk + index-seek + PNG-decode path reproduces the
+    original pixels exactly (lossless end to end)."""
+    import numpy as np
+
+    rows = []
+    for m in range(N_VIDEOS):
+        for i in range(0, VIDEO_FRAMES, VIDEO_STRIDE):
+            rng = np.random.default_rng(m * 1000 + i)
+            img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            rows.append(
+                f"('vid_{m:06d}', CAST({i} AS BIGINT), CAST(16 AS BIGINT),"
+                f" CAST(12 AS BIGINT),"
+                f" CAST({round(float(np.mean(img, dtype=np.float64)), 6)!r}"
+                f" AS DOUBLE))"
+            )
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+        {values}
+    ) AS t(media_id, frame_idx, frame_w, frame_h, mean_px)
+    """
+
+
+@register("video_frame_stats", oracle=_video_frame_stats_oracle())
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI container video (r06): 100 clips x 16 frames as genuine
+    RIFF/AVI files (hdrl/avih/strl headers, movi '00dc' chunks, idx1
+    index; MPNG = PNG payloads in the MJPEG-in-AVI layout), every 4th
+    frame decoded via INDEX SEEK only. Hard-oracled against per-frame mean
+    pixel values computed from the raw synthesis arrays before any
+    encoding existed — a broken chunk walk, index offset, or codec breaks
+    the hash."""
+    import pandas as pd
+
+    from fs2_osm_spark.operators.multimodal import sample_frames_indexed
+    from fs2_osm_spark.synth.video import make_video
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (f"vid_{i:06d}", make_video(i, n_frames=VIDEO_FRAMES), "avi")
+                for i in range(N_VIDEOS)
+            ],
+            columns=["media_id", "bytes", "fmt"],
+        )
+    )
+    out = sample_frames_indexed(media, every_n=VIDEO_STRIDE)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_w").cast("bigint").alias("frame_w"),
+        F.col("frame_h").cast("bigint").alias("frame_h"),
+        F.round("mean_px", 6).cast("double").alias("mean_px"),
+    )

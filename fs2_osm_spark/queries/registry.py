@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     "part_hilbert_pruned_scan",
     "osm_apply_diff",
     "audio_features",
+    "video_frame_stats",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

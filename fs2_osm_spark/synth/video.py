@@ -1,0 +1,131 @@
+"""Real RIFF/AVI video container with PNG-coded frames ("MPNG").
+
+The sandbox has no ffmpeg/PyAV, so earlier rounds stubbed video decode
+behind a length-prefixed fake container. This module removes the stub at
+the CONTAINER level: clips are genuine AVI files — RIFF 'AVI ' with the
+standard LIST hdrl (avih MainAVIHeader + strl/strh/strf stream headers),
+LIST movi holding word-aligned '00dc' video chunks, and a real 'idx1'
+index — exactly the MJPEG-in-AVI layout, with the per-frame codec being
+this repo's pure-numpy PNG instead of JPEG (fccHandler 'MPNG'). Any
+AVI-aware tool can walk these files' structure; our reader uses the idx1
+index so frame sampling decodes ONLY the requested frames (the scale
+point: on a petabyte video corpus you never touch the bytes you skip).
+
+Header field layout follows the public AVI spec (msdn AVIMAINHEADER /
+AVISTREAMHEADER / BITMAPINFOHEADER).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from fs2_osm_spark.codecs.png import decode_image, encode_png
+
+AVIF_HASINDEX = 0x00000010
+AVIIF_KEYFRAME = 0x00000010
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mpng(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Frames (h, w, 3 uint8) -> a real AVI byte stream (MPNG codec)."""
+    h, w = frames[0].shape[:2]
+    payloads = [encode_png(f) for f in frames]
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        max(len(p) for p in payloads) * fps,  # dwMaxBytesPerSec
+        0,                          # dwPaddingGranularity
+        AVIF_HASINDEX,              # dwFlags
+        len(frames),                # dwTotalFrames
+        0, 1,                       # dwInitialFrames, dwStreams
+        max(len(p) for p in payloads),  # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,           # dwWidth, dwHeight, dwReserved[4]
+    )
+    strh = (
+        b"vids" + b"MPNG"
+        # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
+        # dwStart, dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max(len(p) for p in payloads), 0xFFFFFFFF, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    movi_body = b"movi"
+    idx_entries = []
+    for p in payloads:
+        # idx1 offsets: position of the chunk HEADER relative to the
+        # 'movi' fourcc (the common AVI writer convention)
+        idx_entries.append((len(movi_body), len(p)))
+        movi_body += _chunk(b"00dc", p)
+    movi = _chunk(b"LIST", movi_body)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", AVIIF_KEYFRAME, off, size)
+            for off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_chunks(raw: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def read_avi_index(raw: bytes) -> tuple[int, list[tuple[int, int]]]:
+    """-> (movi_fourcc_pos, [(frame_offset, frame_size), ...]) without
+    touching any frame bytes — the idx1-driven path a selective sampler
+    needs. Offsets returned are absolute positions of each '00dc' body."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    movi_pos, idx = None, None
+    for cid, body_pos, size in _walk_chunks(raw, 12, len(raw)):
+        if cid == b"LIST" and raw[body_pos : body_pos + 4] == b"movi":
+            movi_pos = body_pos
+        elif cid == b"idx1":
+            idx = raw[body_pos : body_pos + size]
+    if movi_pos is None or idx is None:
+        raise ValueError("missing movi/idx1")
+    frames = []
+    for i in range(0, len(idx), 16):
+        ckid, _flags, off, size = struct.unpack("<4sIII", idx[i : i + 16])
+        if ckid == b"00dc":
+            # off is relative to the 'movi' fourcc; +8 skips the chunk hdr
+            frames.append((movi_pos + off + 8, size))
+    return movi_pos, frames
+
+
+def decode_avi_frame(raw: bytes, offset: int, size: int) -> np.ndarray:
+    return decode_image(raw[offset : offset + size], "png")
+
+
+def make_video(media_id: int, n_frames: int = 16, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic synthetic clip: per-frame seeded noise, real AVI."""
+    frames = []
+    for i in range(n_frames):
+        rng = np.random.default_rng(media_id * 1000 + i)
+        frames.append(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+    return encode_avi_mpng(frames)
