@@ -1,0 +1,86 @@
+"""Table maintenance: small-file compaction + scan-pruning statistics.
+
+Two operational primitives every long-lived 100 TB lakehouse table needs
+(the reference writes straight into Postgres and gets them from vacuum /
+ANALYZE; a parquet-backed engine must provide them itself):
+
+- compact_table: a fragmented directory (thousands of tiny files from
+  incremental batches — e.g. the lineage layout's per-batch appends) is
+  rewritten into ~target-sized files. Row-preservation is the correctness
+  contract; the distributed shape is one coalesce (NO shuffle — coalesce
+  merges co-located splits) unless a shuffle is explicitly requested to
+  also restore clustering.
+
+- collect_table_stats: per-column min / max / null count / approximate
+  NDV — the file-footer and catalog statistics that drive scan pruning
+  and join-size estimation. One pass, one aggregate row per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite src_path parquet into ~target_file_mb files at dst_path.
+    Returns {"files_before", "files_after", "rows"}."""
+    df = spark.read.parquet(src_path)
+    files_before = len(df.inputFiles())
+    total_bytes = sum(
+        int(r.length)
+        for r in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src_path)
+        .select(F.col("length"))
+        .collect()
+    )
+    n_out = max(1, total_bytes // (target_file_mb * 1024 * 1024) + 1)
+    out = df.repartition(int(n_out)) if shuffle else df.coalesce(int(n_out))
+    out.write.mode("overwrite").parquet(dst_path)
+    after = spark.read.parquet(dst_path)
+    return {
+        "files_before": files_before,
+        "files_after": len(after.inputFiles()),
+        "rows": after.count(),
+    }
+
+
+def collect_table_stats(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One row per column: min/max (as strings, type-agnostic), null
+    count, approximate NDV. Single aggregate pass over the table."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__ndv"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            (
+                c,
+                row[f"{c}__min"],
+                row[f"{c}__max"],
+                int(row[f"{c}__nulls"]),
+                int(row[f"{c}__ndv"]),
+            )
+            for c in columns
+        ],
+        columns=["column", "min_val", "max_val", "n_nulls", "approx_ndv"],
+    )
+    return spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        "column string, min_val string, max_val string, n_nulls long, approx_ndv long",
+    )

@@ -66,6 +66,8 @@ PRIORITY: list[str] = [
     "osm_apply_diff",
     "audio_features",
     "video_frame_stats",
+    "table_compaction",
+    "table_stats",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

@@ -624,3 +624,96 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("exact_disc"), 2).cast("double").alias("exact_p50_disc"),
         ok.alias("sketch_within_rank_eps"),
     )
+
+
+@register(
+    "table_compaction",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS compacted_fewer_files
+    FROM orders
+    """,
+)
+def table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (r06): fragment the orders table into 64 tiny
+    parquet files (the shape incremental per-batch appends leave behind),
+    compact to target-sized files with operators/maintenance.compact_table
+    (coalesce — no shuffle), and emit the row count + key checksum the
+    oracle re-derives from the source table, plus the contract boolean
+    that compaction actually reduced the file count. Content loss, row
+    duplication, or a no-op compaction all break the hash."""
+    import tempfile
+
+    from fs2_osm_spark.operators.maintenance import compact_table
+
+    orders = load(spark, sf_dir, "orders")
+    frag = tempfile.mkdtemp(prefix="frag_")
+    dst = tempfile.mkdtemp(prefix="compact_")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    res = compact_table(spark, frag, dst, target_file_mb=256)
+    out = spark.read.parquet(dst)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.lit(res["files_after"] < res["files_before"]).alias(
+            "compacted_fewer_files"
+        ),
+    )
+
+
+@register(
+    "table_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS "column",
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           TRUE AS ndv_within_10pct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE
+    FROM orders
+    """,
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics collection (r06): per-column min/max/null-count
+    in one aggregate pass (the footer stats scan pruning reads), plus the
+    HLL NDV checked against its error contract (exact countDistinct in the
+    same job, 10% band at rsd=0.02). The oracle re-derives min/max/nulls
+    exactly and pins the NDV contract boolean TRUE."""
+    from fs2_osm_spark.operators.maintenance import collect_table_stats
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load(spark, sf_dir, "orders")
+    stats = collect_table_stats(orders, cols)
+    exact_row = orders.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).collect()[0]
+    import pandas as pd
+
+    exact = spark.createDataFrame(
+        pd.DataFrame(
+            {"column": cols, "exact_ndv": [int(exact_row[c]) for c in cols]}
+        )
+    )
+    joined = stats.join(F.broadcast(exact), "column")
+    ok = (
+        F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+        / F.col("exact_ndv")
+        <= 0.10
+    )
+    return joined.select(
+        "column", "min_val", "max_val", "n_nulls",
+        ok.alias("ndv_within_10pct"),
+    )
