@@ -40,7 +40,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def clip_features(raw: bytes) -> tuple[float, float, float, float]:
+def clip_features(raw: bytes) -> tuple[float, float, float, float, float]:
     """-> (rms, zcr, dom_freq_hz, clip_ratio, duration_s) for one clip."""
     x, sr = decode_wav(bytes(raw))
     n = len(x)

@@ -29,8 +29,12 @@ _OP_RANK = {"base": 0, "create": 1, "modify": 1, "delete": 2}
 
 
 def op_rank_col(op_col: str = "op"):
+    """Rank per change kind; any op outside the contract RAISES at
+    execution (a typo'd 'update' must not silently lose the merge)."""
     c = F.col(op_col)
-    expr = F.lit(0)
+    expr = F.raise_error(F.concat(F.lit("apply_diff: unknown op "), c)).cast(
+        "int"
+    )
     for op, rank in _OP_RANK.items():
         expr = F.when(c == op, F.lit(rank)).otherwise(expr)
     return expr
@@ -41,25 +45,41 @@ def apply_diff(
     diff: DataFrame,
     key_col: str = "osm_id",
     payload_cols: tuple[str, ...] = ("lon", "lat"),
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Apply a change set to a base table.
 
     base: key + payload columns (implicit version 1, op 'base').
-    diff: key + payload + version (int) + op in create|modify|delete.
-    Returns the merged table: per key the highest (version, op-rank)
-    change wins; keys whose winner is a delete disappear.
+    diff: key + payload + version (int) + op in create|modify|delete
+          (anything else raises at execution) + optionally seq_col, a
+          monotone change-sequence number from the feed.
+    Returns the merged table: per key the highest (version, op-rank[,
+    seq]) change wins; keys whose winner is a delete disappear.
+
+    Tie-break contract: at-least-once feeds can deliver two DIFFERENT
+    changes at the same (version, op-rank). Pass seq_col so the feed's
+    own ordering decides. Without it, remaining ties fall through to
+    lexicographic payload comparison — deterministic and engine-portable
+    (an independent SQL merge ordering by the same columns picks the same
+    survivor), but semantically arbitrary: it is a last resort for exact
+    duplicate deliveries, not a substitute for a sequence number.
     """
     b = base.select(
         key_col,
         *payload_cols,
         F.lit(1).alias("version"),
         F.lit("base").alias("op"),
+        *([F.lit(0).alias(seq_col)] if seq_col else []),
     )
-    d = diff.select(key_col, *payload_cols, "version", "op")
+    d = diff.select(
+        key_col, *payload_cols, "version", "op",
+        *([seq_col] if seq_col else []),
+    )
     allrows = b.unionByName(d)
     winner = F.struct(
         F.col("version").alias("v"),
         op_rank_col().alias("r"),
+        *([F.col(seq_col).alias("seq")] if seq_col else []),
         *[F.col(c).alias(c) for c in payload_cols],
         F.col("op").alias("op"),
     )

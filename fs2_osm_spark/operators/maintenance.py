@@ -31,6 +31,16 @@ def compact_table(
 ) -> dict:
     """Rewrite src_path parquet into ~target_file_mb files at dst_path.
     Returns {"files_before", "files_after", "rows"}."""
+    import os
+
+    if os.path.abspath(dst_path) == os.path.abspath(src_path):
+        # overwrite-to-dst deletes the directory the (lazy) source plan
+        # still reads from — in-place compaction needs a staging dir
+        raise ValueError(
+            "compact_table: dst_path must differ from src_path (the "
+            "overwrite would destroy the table being read; compact into "
+            "a staging directory and swap)"
+        )
     df = spark.read.parquet(src_path)
     files_before = len(df.inputFiles())
     total_bytes = sum(

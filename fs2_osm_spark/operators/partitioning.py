@@ -96,11 +96,7 @@ def hilbert_range_partition(
     id_cols: list[str],
 ) -> DataFrame:
     """Assign hilbert keys (via the shared SQL form) and range-partition."""
-    spark = df.sparkSession
-    tx, ty = tile_xyz(F.col(lon_col), F.col(lat_col), order)
-    base = df.select(*id_cols, tx.alias("hx"), ty.alias("hy"))
-    base.createOrReplaceTempView("__h0")
-    keyed = spark.sql(hilbert_sql_layers(id_cols, order))
+    keyed = hilbert_keys(df, lon_col, lat_col, order, id_cols)
     return keyed.repartitionByRange(n_partitions, "hilbert")
 
 
@@ -143,7 +139,12 @@ def write_hilbert_clustered(
     keyed.repartition("h_bucket").write.partitionBy("h_bucket").mode(
         "overwrite"
     ).parquet(path)
-    return keyed.select("h_bucket").distinct().count()
+    # bucket count from the WRITTEN layout's file paths (metadata only) —
+    # a distinct() over the keyed frame would re-execute the whole
+    # tile+hilbert plan a second time just for this number
+    spark = df.sparkSession
+    paths = spark.read.parquet(path).inputFiles()
+    return len({p.split("h_bucket=")[1].split("/")[0] for p in paths})
 
 
 def read_hilbert_bucket_range(

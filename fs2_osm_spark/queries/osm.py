@@ -942,7 +942,8 @@ def _apply_diff_oracle() -> str:
     merged AS (
         SELECT osm_id, lon, lat, op,
                row_number() OVER (PARTITION BY osm_id
-                                  ORDER BY version DESC, rnk DESC) AS rn
+                                  ORDER BY version DESC, rnk DESC,
+                                           lon DESC, lat DESC, op DESC) AS rn
         FROM (SELECT * FROM base UNION ALL SELECT * FROM diff)
     )
     SELECT osm_id,
@@ -970,6 +971,8 @@ def osm_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = osm_tables(spark, N_ZONES)
     # the base feeds four scans (base + three diff branches): cache the
     # tiny synth output once instead of re-running the generator per branch
+    # (left cached for the session — the driver consumes the result lazily;
+    # O(nodes-at-256-zones) ~ a few hundred KB; selfcheck clears per-query)
     base = t["nodes"].select("osm_id", "lon", "lat").cache()
     modify = base.filter(F.col("osm_id") % 7 == 0).select(
         "osm_id",

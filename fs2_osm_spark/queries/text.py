@@ -415,6 +415,13 @@ def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = distributed_prefix_sum(
         keyed, "one", ["h", "doc_id"], out_col="shuffle_rank"
     ).select("doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"))
+    # Deliberately left cached for the session: the caller (driver gate)
+    # consumes the returned frame lazily AFTER release_pins(), and an
+    # uncached re-execution would recompute the ranged frame the released
+    # offsets were collected from (the fail-fast guard in
+    # distributed_prefix_sum would raise). The pinned output is
+    # O(doc_id + rank) — a few hundred KB at the gate's scale; selfcheck
+    # clears it per-query.
     out = ranked.cache()
     out.count()  # materialize before releasing the module's plan pins
     release_pins()

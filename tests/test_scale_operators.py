@@ -448,3 +448,43 @@ def test_apply_diff_semantics(spark):
         for r in apply_diff(base, diff).collect()
     }
     assert got == {1: 1.0, 2: 2.5, 5: 5.0}
+
+
+def test_apply_diff_rejects_unknown_op(spark):
+    import pandas as pd
+    import pytest as _pytest
+    from fs2_osm_spark.operators.diff import apply_diff
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [1], "lon": [1.0], "lat": [0.0]})
+    )
+    diff = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 1.5, 0.0, 2, "update")],
+            columns=["osm_id", "lon", "lat", "version", "op"],
+        )
+    )
+    with _pytest.raises(Exception, match="unknown op"):
+        apply_diff(base, diff).collect()
+
+
+def test_apply_diff_seq_col_resolves_same_version_ties(spark):
+    """An at-least-once feed delivering two modifies at the same version:
+    the sequence number decides, not payload magnitude."""
+    import pandas as pd
+    from fs2_osm_spark.operators.diff import apply_diff
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [1], "lon": [9.0], "lat": [0.0]})
+    )
+    diff = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, 5.0, 0.0, 2, "modify", 1),   # stale, larger payload
+                (1, 0.5, 0.0, 2, "modify", 2),   # correction, later seq
+            ],
+            columns=["osm_id", "lon", "lat", "version", "op", "seq"],
+        )
+    )
+    rows = apply_diff(base, diff, seq_col="seq").collect()
+    assert [(r.osm_id, r.lon) for r in rows] == [(1, 0.5)]

@@ -106,7 +106,7 @@ def _append_history(raw: float, ceiling: float, normalized: float) -> None:
     try:
         with open(_HISTORY) as f:
             hist = json.load(f)
-    except OSError:
+    except (OSError, ValueError):  # absent OR truncated by a killed run
         hist = []
     entry = {
         "label": os.environ.get("SCALE_LABEL", f"run{len(hist) + 1}"),
@@ -121,8 +121,10 @@ def _append_history(raw: float, ceiling: float, normalized: float) -> None:
     ):
         return
     hist.append(entry)
-    with open(_HISTORY, "w") as f:
+    tmp = _HISTORY + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(hist, f, indent=1)
+    os.replace(tmp, _HISTORY)  # atomic: a killed run cannot truncate
 
 
 def _history_md() -> str:

@@ -50,10 +50,14 @@ def main() -> int:
             from fs2_osm_spark.operators.dedup import release_pins
 
             release_pins()
-        if name == "text_pack_bins":
+        if name == "text_pack_bins" or name == "text_global_shuffle":
             from fs2_osm_spark.operators.packing import release_pins as rp
 
             rp()
+        if name in ("text_global_shuffle", "osm_apply_diff"):
+            # these queries cache small frames their lazily-consumed result
+            # depends on; once the CLI has collected, drop them
+            spark.catalog.clearCache()
 
     print(f"\n{len(QUERIES)} queries, {len(failures)} failures: {failures}")
     return 1 if failures else 0
