@@ -432,3 +432,53 @@ def broadcast_cell_pip_join(
         points.sparkSession, polygons, res, polygon_id_col, outer_col, inners_col
     )
     return apply_cell_pip(points, cover, lon_col, lat_col, point_keep)
+
+
+def bbox_cell_join(
+    a: DataFrame,
+    b: DataFrame,
+    cell_deg: float,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """Rectangle-overlap join (the bbox/envelope spatial join, distinct
+    from PIP): both sides carry (id, minx, maxx, miny, maxy).
+
+    The naive formulation is a cross join with a 4-way interval predicate
+    — quadratic. The scale-safe shape: each rectangle explodes to the
+    coarse grid cells it touches (sequence over floor(min/cell)..
+    floor(max/cell) per axis — a handful of cells when cell_deg bounds
+    the extents), the join becomes an EQUI-join on the cell key (one hash
+    shuffle), the exact interval predicate refines candidates, and
+    distinct() collapses pairs that share several cells. Same recipe at
+    any scale: the shuffle is keyed, never cartesian.
+    """
+
+    def cells(df: DataFrame, idc: str) -> DataFrame:
+        cx = F.explode(
+            F.sequence(
+                F.floor(F.col("minx") / cell_deg),
+                F.floor(F.col("maxx") / cell_deg),
+            )
+        ).alias("cx")
+        out = df.select(idc, "minx", "maxx", "miny", "maxy", cx)
+        cy = F.explode(
+            F.sequence(
+                F.floor(F.col("miny") / cell_deg),
+                F.floor(F.col("maxy") / cell_deg),
+            )
+        ).alias("cy")
+        return out.select(idc, "minx", "maxx", "miny", "maxy", "cx", cy)
+
+    ca = cells(a, a_id)
+    cb = cells(b, b_id)
+    for c in ("minx", "maxx", "miny", "maxy"):
+        ca = ca.withColumnRenamed(c, f"a_{c}")
+        cb = cb.withColumnRenamed(c, f"b_{c}")
+    joined = ca.join(cb, ["cx", "cy"]).filter(
+        (F.col("a_minx") <= F.col("b_maxx"))
+        & (F.col("a_maxx") >= F.col("b_minx"))
+        & (F.col("a_miny") <= F.col("b_maxy"))
+        & (F.col("a_maxy") >= F.col("b_miny"))
+    )
+    return joined.select(a_id, b_id).distinct()

@@ -544,3 +544,64 @@ def geo_hex_cell_equalarea(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("point_id"),
         hex_cell_ea(lon, lat, 8).alias("cell"),
     )
+
+
+# --------------------------------------------------------------------------
+# BBox overlap join (envelope/range spatial join — the non-PIP variant)
+# --------------------------------------------------------------------------
+_BB_CELL = 0.25
+
+
+def _bbox_rect_sql(key: str, shift: int) -> str:
+    lon = geo.synth_lon_sql(f"{key} + {shift}")
+    lat = geo.synth_lat_sql(f"{key} + {shift}")
+    return (
+        f"{lon} - (0.05 + ({key}) % 5 * 0.01) AS minx, "
+        f"{lon} + (0.05 + ({key}) % 5 * 0.01) AS maxx, "
+        f"{lat} - (0.03 + ({key}) % 3 * 0.01) AS miny, "
+        f"{lat} + (0.03 + ({key}) % 3 * 0.01) AS maxy"
+    )
+
+
+@register(
+    "geo_bbox_overlap_join",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS a_id, {_bbox_rect_sql('o_orderkey', 0)}
+        FROM orders
+    ),
+    b AS (
+        SELECT c_custkey AS b_id, {_bbox_rect_sql('c_custkey', 3)}
+        FROM customer
+    )
+    SELECT a.a_id, b.b_id
+    FROM a, b
+    WHERE a.minx <= b.maxx AND a.maxx >= b.minx
+      AND a.miny <= b.maxy AND a.maxy >= b.miny
+    """,
+)
+def geo_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope-overlap spatial join (r06): synthetic rectangles around the
+    order/customer point sets joined by 4-way interval overlap. The Spark
+    side runs the SCALE-SAFE formulation (explode to coarse grid cells ->
+    equi-join on the cell key -> exact refine -> distinct); the oracle is
+    the brute-force cross join with the same predicate — the bucketed join
+    must find exactly the quadratic answer, so a cell-size bug, a missed
+    boundary-straddling rectangle, or double-counted pairs all break it."""
+    from fs2_osm_spark.operators.spatial_join import bbox_cell_join
+
+    def rects(df, key, idname, shift):
+        k = F.col(key)
+        lon = geo.synth_lon(k + shift)
+        lat = geo.synth_lat(k + shift)
+        hw = 0.05 + (k % 5).cast("double") * 0.01
+        hh = 0.03 + (k % 3).cast("double") * 0.01
+        return df.select(
+            k.alias(idname),
+            (lon - hw).alias("minx"), (lon + hw).alias("maxx"),
+            (lat - hh).alias("miny"), (lat + hh).alias("maxy"),
+        )
+
+    a = rects(load(spark, sf_dir, "orders"), "o_orderkey", "a_id", 0)
+    b = rects(load(spark, sf_dir, "customer"), "c_custkey", "b_id", 3)
+    return bbox_cell_join(a, b, _BB_CELL)

@@ -68,6 +68,7 @@ PRIORITY: list[str] = [
     "video_frame_stats",
     "table_compaction",
     "table_stats",
+    "geo_bbox_overlap_join",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",
