@@ -441,3 +441,38 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_h").cast("bigint").alias("frame_h"),
         F.round("mean_px", 6).cast("double").alias("mean_px"),
     )
+
+
+def _audio_fp_oracle() -> str:
+    from fs2_osm_spark.synth.staging import AUDIO_FIXTURE
+
+    return f"""
+    SELECT audio_id,
+           CAST(fingerprint AS BIGINT) AS fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS cluster_size
+    FROM read_parquet('{AUDIO_FIXTURE}')
+    """
+
+
+@register("audio_fingerprint_dedup", oracle=_audio_fp_oracle())
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection (r06): per-clip 16-band spectral
+    fingerprint (energy-concentration bits — the audio SimHash) computed
+    from the decoded WAV inside Arrow batches, then a fingerprint
+    groupBy gives dedup clusters: same-tone-structure clips collide
+    regardless of their noise floor / amplitude variation. Hard-oracled
+    against the fixture-recorded fingerprints (anti-drift pytest
+    recomputes a sample); cluster sizes re-derived by both engines."""
+    from fs2_osm_spark.operators.audio import audio_fingerprints
+    from fs2_osm_spark.synth.audio import audio_table
+    from fs2_osm_spark.synth.staging import N_FIXTURE_CLIPS, ensure_audio_fixture
+
+    ensure_audio_fixture()
+    fps = audio_fingerprints(audio_table(spark, N_FIXTURE_CLIPS))
+    sizes = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return fps.join(sizes, "fingerprint").select(
+        "audio_id", "fingerprint", F.col("cluster_size").cast("bigint")
+    )

@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     "part_hilbert_pruned_scan",
     "osm_apply_diff",
     "audio_features",
+    "audio_fingerprint_dedup",
     "video_frame_stats",
     "table_compaction",
     "table_stats",

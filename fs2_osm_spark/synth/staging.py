@@ -344,6 +344,12 @@ def ensure_audio_fixture() -> str:
             feats[:, 0], feats[:, 1], feats[:, 2]
         )
         pdf["clip_ratio"], pdf["duration_s"] = feats[:, 3], feats[:, 4]
+        from fs2_osm_spark.operators.audio import spectral_fingerprint
+        from fs2_osm_spark.synth.audio import decode_wav as _dw
+
+        pdf["fingerprint"] = [
+            spectral_fingerprint(*_dw(bytes(b))) for b in pdf["bytes"]
+        ]
         os.makedirs(os.path.dirname(AUDIO_FIXTURE), exist_ok=True)
         tmp = AUDIO_FIXTURE + ".tmp"
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)

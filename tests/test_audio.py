@@ -76,10 +76,16 @@ def test_audio_fixture_anti_drift():
     assert [bytes(b) for b in live["bytes"]] == [
         bytes(b) for b in sample["bytes"]
     ]
+    from fs2_osm_spark.operators.audio import spectral_fingerprint
+    from fs2_osm_spark.synth.audio import decode_wav
+
     for k, r in enumerate(sample.itertuples()):
         rms, zcr, dom, clip_ratio, dur = clip_features(r.bytes)
         assert (rms, zcr, dom, clip_ratio, dur) == (
             r.rms, r.zcr, r.dom_freq_hz, r.clip_ratio, r.duration_s
+        ), r.audio_id
+        assert spectral_fingerprint(*decode_wav(bytes(r.bytes))) == (
+            r.fingerprint
         ), r.audio_id
 
 
@@ -147,3 +153,19 @@ def test_avi_sampler_rejects_foreign_codecs(spark):
     )
     with _pytest.raises(Exception, match="h264"):
         sample_frames_indexed(media).collect()
+
+
+def test_spectral_fingerprint_collides_within_tone_class():
+    """Clips sharing (fundamental, harmonic) band structure must collide
+    even with different noise draws and harmonic amplitudes; clips whose
+    fundamentals live in distant bands must not."""
+    from fs2_osm_spark.operators.audio import spectral_fingerprint
+    from fs2_osm_spark.synth.audio import SR, synth_samples
+
+    # ids 0 and 140 share id%20 (same f0) but differ in %5/%7 and noise
+    a = spectral_fingerprint(synth_samples(0), SR)
+    b = spectral_fingerprint(synth_samples(140), SR)
+    assert a == b
+    # id 10 -> f0 = 700 Hz, far from id 0's 200 Hz
+    c = spectral_fingerprint(synth_samples(10), SR)
+    assert a != c
