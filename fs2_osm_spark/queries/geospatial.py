@@ -553,13 +553,20 @@ _BB_CELL = 0.25
 
 
 def _bbox_rect_sql(key: str, shift: int) -> str:
+    # literals MUST be CAST AS DOUBLE: bare 0.05/0.01 are DuckDB DECIMALs,
+    # whose exact arithmetic rounds to double ONCE at the end, while Spark
+    # evaluates the whole chain in doubles — measured 1-ulp divergence on
+    # ~1/5000 keys, and boundary-touching pairs sit exactly on the 0.01
+    # lattice, so a DECIMAL oracle can disagree on `>=` at the edge
     lon = geo.synth_lon_sql(f"{key} + {shift}")
     lat = geo.synth_lat_sql(f"{key} + {shift}")
+    hw = f"(CAST(0.05 AS DOUBLE) + ({key}) % 5 * CAST(0.01 AS DOUBLE))"
+    hh = f"(CAST(0.03 AS DOUBLE) + ({key}) % 3 * CAST(0.01 AS DOUBLE))"
     return (
-        f"{lon} - (0.05 + ({key}) % 5 * 0.01) AS minx, "
-        f"{lon} + (0.05 + ({key}) % 5 * 0.01) AS maxx, "
-        f"{lat} - (0.03 + ({key}) % 3 * 0.01) AS miny, "
-        f"{lat} + (0.03 + ({key}) % 3 * 0.01) AS maxy"
+        f"{lon} - {hw} AS minx, "
+        f"{lon} + {hw} AS maxx, "
+        f"{lat} - {hh} AS miny, "
+        f"{lat} + {hh} AS maxy"
     )
 
 

@@ -468,11 +468,15 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fs2_osm_spark.synth.audio import audio_table
     from fs2_osm_spark.synth.staging import N_FIXTURE_CLIPS, ensure_audio_fixture
 
+    from pyspark.sql import Window
+
     ensure_audio_fixture()
     fps = audio_fingerprints(audio_table(spark, N_FIXTURE_CLIPS))
-    sizes = fps.groupBy("fingerprint").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return fps.join(sizes, "fingerprint").select(
-        "audio_id", "fingerprint", F.col("cluster_size").cast("bigint")
+    # window, not groupBy+self-join: the join would re-plan (and re-run)
+    # the decode+FFT mapInPandas scan for both branches; the window
+    # mirrors the oracle's count(*) OVER (PARTITION BY fingerprint) and
+    # decodes each clip exactly once
+    size = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    return fps.select(
+        "audio_id", "fingerprint", size.cast("bigint").alias("cluster_size")
     )

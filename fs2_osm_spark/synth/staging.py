@@ -333,23 +333,25 @@ def ensure_audio_fixture() -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from fs2_osm_spark.operators.audio import clip_features
+        from fs2_osm_spark.operators.audio import (
+            clip_features_from_samples,
+            spectral_fingerprint,
+        )
+        from fs2_osm_spark.synth.audio import decode_wav as _dw
         from fs2_osm_spark.synth.audio import generate_audio_batch
 
         pdf = generate_audio_batch(np.arange(N_FIXTURE_CLIPS, dtype=np.int64))
         feats = np.empty((len(pdf), 5))
+        fps = np.empty(len(pdf), np.int64)
         for k, r in enumerate(pdf.itertuples()):
-            feats[k] = clip_features(r.bytes)
+            x, sr = _dw(bytes(r.bytes))  # decode once, feed both kernels
+            feats[k] = clip_features_from_samples(x, sr)
+            fps[k] = spectral_fingerprint(x, sr)
         pdf["rms"], pdf["zcr"], pdf["dom_freq_hz"] = (
             feats[:, 0], feats[:, 1], feats[:, 2]
         )
         pdf["clip_ratio"], pdf["duration_s"] = feats[:, 3], feats[:, 4]
-        from fs2_osm_spark.operators.audio import spectral_fingerprint
-        from fs2_osm_spark.synth.audio import decode_wav as _dw
-
-        pdf["fingerprint"] = [
-            spectral_fingerprint(*_dw(bytes(b))) for b in pdf["bytes"]
-        ]
+        pdf["fingerprint"] = fps
         os.makedirs(os.path.dirname(AUDIO_FIXTURE), exist_ok=True)
         tmp = AUDIO_FIXTURE + ".tmp"
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)

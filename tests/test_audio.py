@@ -156,16 +156,20 @@ def test_avi_sampler_rejects_foreign_codecs(spark):
 
 
 def test_spectral_fingerprint_collides_within_tone_class():
-    """Clips sharing (fundamental, harmonic) band structure must collide
-    even with different noise draws and harmonic amplitudes; clips whose
-    fundamentals live in distant bands must not."""
+    """Clips sharing tone structure must collide under different noise
+    DRAWS (id 140: same params as id 0, different rng stream) and
+    different noise AMPLITUDE (id 20: n_amp 0.08 vs 0.02 — within a tone
+    class id%5, and hence the harmonic amplitude, is fixed because 5
+    divides 20); clips with different fundamentals must not collide."""
     from fs2_osm_spark.operators.audio import spectral_fingerprint
-    from fs2_osm_spark.synth.audio import SR, synth_samples
+    from fs2_osm_spark.synth.audio import SR, clip_params, synth_samples
 
-    # ids 0 and 140 share id%20 (same f0) but differ in %5/%7 and noise
+    assert clip_params(0) == clip_params(140)          # only the rng differs
+    assert clip_params(20)[2] != clip_params(0)[2]     # noise amp differs
     a = spectral_fingerprint(synth_samples(0), SR)
-    b = spectral_fingerprint(synth_samples(140), SR)
-    assert a == b
-    # id 10 -> f0 = 700 Hz, far from id 0's 200 Hz
-    c = spectral_fingerprint(synth_samples(10), SR)
-    assert a != c
+    assert a == spectral_fingerprint(synth_samples(140), SR)
+    assert a == spectral_fingerprint(synth_samples(20), SR)
+    # id 1 -> f0 = 250 Hz: ADJACENT tone class must already separate at
+    # the 62.5 Hz band resolution; id 10 (700 Hz) is far away
+    assert a != spectral_fingerprint(synth_samples(1), SR)
+    assert a != spectral_fingerprint(synth_samples(10), SR)
