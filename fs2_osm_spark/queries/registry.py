@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "table_compaction",
     "table_stats",
     "geo_bbox_overlap_join",
+    "join_bucketed_colocated",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

@@ -717,3 +717,66 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column", "min_val", "max_val", "n_nulls",
         ok.alias("ndv_within_10pct"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(l.l_extendedprice), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once-shuffle join (r06): orders and lineitem are written as
+    bucketed+sorted tables CLUSTERED BY the order key into the same bucket
+    count, then joined through the catalog — a sort-merge join with NO
+    ShuffleExchange on either side (plan pinned by
+    tests/test_scale_operators.py; broadcast disabled here so the bucketed
+    path is what actually runs). The oracle re-derives the aggregate from
+    the raw tables, so a bucket-pruning or bucket-alignment bug that
+    drops/duplicates rows breaks the hash."""
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from fs2_osm_spark.operators.bucketing import (
+        colocated_join,
+        drop_bucketed,
+        write_bucketed,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    root = tempfile.mkdtemp(prefix="bucketed_")
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"t_orders_{tag}", f"t_lineitem_{tag}"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(o, ta, f"{root}/o", "o_orderkey")
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            tb, f"{root}/l", "o_orderkey",
+        )
+        out = (
+            colocated_join(spark, ta, tb, "o_orderkey")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # materialize before dropping the catalog tables the plan reads
+        pdf = out.toPandas()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, ta, tb)
+    return spark.createDataFrame(
+        pdf, "priority string, n_items long, revenue double"
+    )

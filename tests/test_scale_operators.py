@@ -488,3 +488,38 @@ def test_apply_diff_seq_col_resolves_same_version_ties(spark):
     )
     rows = apply_diff(base, diff, seq_col="seq").collect()
     assert [(r.osm_id, r.lon) for r in rows] == [(1, 0.5)]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the key into the same bucket count: the
+    equi-join must plan WITHOUT a ShuffleExchange on either side (the
+    write-once shuffle replaces every future join shuffle), and must
+    return exactly what the plain join returns."""
+    from fs2_osm_spark.operators.bucketing import (
+        colocated_join,
+        drop_bucketed,
+        write_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 5000, 3).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("vb")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(a, "t_bk_a", str(tmp_path / "a"), "k")
+        write_bucketed(b, "t_bk_b", str(tmp_path / "b"), "k")
+        joined = colocated_join(spark, "t_bk_a", "t_bk_b", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        got = sorted(map(tuple, joined.collect()))
+        want = sorted(map(tuple, a.join(b, "k").collect()))
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, "t_bk_a", "t_bk_b")
