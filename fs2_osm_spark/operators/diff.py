@@ -46,6 +46,7 @@ def apply_diff(
     key_col: str = "osm_id",
     payload_cols: tuple[str, ...] = ("lon", "lat"),
     seq_col: str | None = None,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Apply a change set to a base table.
 
@@ -84,6 +85,17 @@ def apply_diff(
         F.col("op").alias("op"),
     )
     merged = allrows.groupBy(key_col).agg(F.max(winner).alias("w"))
+    if keep_meta:
+        # incremental/streaming state mode: KEEP tombstones and the
+        # winning (version, op) so a later merge can compare against them
+        # (dropping a delete here would let an out-of-order older modify
+        # resurrect the key in the next batch)
+        return merged.select(
+            key_col,
+            *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+            F.col("w.v").alias("version"),
+            F.col("w.op").alias("op"),
+        )
     return merged.filter(F.col("w.op") != "delete").select(
         key_col, *[F.col(f"w.{c}").alias(c) for c in payload_cols]
     )

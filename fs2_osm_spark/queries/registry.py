@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "table_stats",
     "geo_bbox_overlap_join",
     "join_bucketed_colocated",
+    "stream_cdc_merge",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

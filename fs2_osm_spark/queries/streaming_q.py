@@ -234,3 +234,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fs2_osm_spark.streaming.events import stream_stream_click_purchase
 
     return stream_stream_click_purchase(spark, sf_dir)
+
+
+@register(
+    "stream_cdc_merge",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, value, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS version,
+               CASE WHEN event_type = 'purchase' THEN 'delete'
+                    ELSE 'modify' END AS op,
+               CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END AS rnk
+        FROM events
+    ),
+    winners AS (
+        SELECT user_id, value, event_type, op,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY version DESC, rnk DESC, value DESC,
+                            event_type DESC, op DESC
+               ) AS rn
+        FROM changes
+    )
+    SELECT user_id,
+           CAST(round(value, 4) AS DOUBLE) AS last_value,
+           event_type AS last_event_type
+    FROM winners WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert/tombstone state (r06): the events stream
+    replayed in micro-batches through a foreachBatch merge
+    (streaming/events.py stream_cdc_state — apply_diff with kept
+    tombstones so out-of-order older modifies cannot resurrect deleted
+    keys). The merge is associative+commutative, so the streamed result
+    must equal one batch merge over all events — which the oracle
+    re-derives in SQL with the identical (version, op-rank, payload)
+    survivorship order. Epochs truncate to whole seconds on both engines
+    (Spark ts.cast(long) == DuckDB floor(epoch(ts)))."""
+    from fs2_osm_spark.streaming.events import stream_cdc_state
+
+    out = stream_cdc_state(spark, sf_dir)
+    return out.select(
+        "user_id",
+        F.round("value", 4).cast("double").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+    )

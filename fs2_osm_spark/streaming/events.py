@@ -264,3 +264,68 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("minutes_to_purchase"),
         F.round("purchase_value", 4).cast("double").alias("purchase_value"),
     )
+
+
+def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge via foreachBatch: the event stream is a change
+    feed over a per-user state table — every event upserts the user's
+    latest (value, event_type) at version = epoch-second, and a 'purchase'
+    event is the account-closing tombstone (delete). Each micro-batch
+    merges prev-state ∪ batch-changes with apply_diff(keep_meta=True), so
+    tombstones persist in state and block OUT-OF-ORDER older modifies from
+    resurrecting a deleted key; the max-struct merge is associative and
+    commutative, so the result is independent of micro-batch boundaries —
+    which is exactly what the batch twin (one merge over all events) and
+    the DuckDB oracle check. State lands in a per-batch parquet dir (the
+    same swap-on-write pattern a lakehouse MERGE target uses)."""
+    import tempfile
+
+    from fs2_osm_spark.operators.diff import apply_diff
+
+    stream = _events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_state_")
+    holder: dict[str, str | None] = {"path": None}
+
+    def to_changes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("user_id"),
+            F.col("value"),
+            F.col("event_type"),
+            F.col("ts").cast("long").alias("version"),
+            F.when(F.col("event_type") == "purchase", "delete")
+            .otherwise("modify")
+            .alias("op"),
+        )
+
+    empty = spark.createDataFrame(
+        [], "user_id long, value double, event_type string"
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = to_changes(batch_df)
+        if holder["path"] is not None:
+            prev = spark.read.parquet(holder["path"]).select(
+                "user_id", "value", "event_type", "version", "op"
+            )
+            changes = changes.unionByName(prev)
+        new_state = apply_diff(
+            empty, changes, key_col="user_id",
+            payload_cols=("value", "event_type"), keep_meta=True,
+        )
+        out = f"{root}/v{batch_id}"
+        new_state.write.mode("overwrite").parquet(out)
+        holder["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(holder["path"])
+    return final.filter(F.col("op") != "delete").select(
+        "user_id", "value", "event_type"
+    )

@@ -260,3 +260,38 @@ def test_sessionize_matches_batch_closed_sessions(spark):
         for r in closed.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_cdc_merge_matches_single_batch_merge(spark):
+    """Micro-batch independence: the foreachBatch CDC state after replaying
+    the stream in 4 files equals ONE apply_diff merge over all events (the
+    max-struct merge is associative/commutative, so batching must not
+    matter) — including tombstone semantics."""
+    from fs2_osm_spark.operators.diff import apply_diff
+    from fs2_osm_spark.streaming.events import stream_cdc_state
+
+    got = sorted(
+        map(tuple, stream_cdc_state(spark, SF_SMOKE).collect())
+    )
+
+    ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    changes = ev.select(
+        "user_id", "value", "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("version"),
+        F.when(F.col("event_type") == "purchase", "delete")
+        .otherwise("modify")
+        .alias("op"),
+    )
+    empty = spark.createDataFrame(
+        [], "user_id long, value double, event_type string"
+    )
+    want = sorted(
+        map(
+            tuple,
+            apply_diff(
+                empty, changes, key_col="user_id",
+                payload_cols=("value", "event_type"),
+            ).collect(),
+        )
+    )
+    assert got == want and got
