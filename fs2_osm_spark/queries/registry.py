@@ -72,6 +72,7 @@ PRIORITY: list[str] = [
     "geo_bbox_overlap_join",
     "join_bucketed_colocated",
     "stream_cdc_merge",
+    "text_decontaminate",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

@@ -426,3 +426,67 @@ def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize before releasing the module's plan pins
     release_pins()
     return out
+
+
+_DECON_N = 5  # n-gram size for contamination matching
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(ws[i : i + {_DECON_N} - 1], ' ') AS g
+        FROM toks,
+             unnest(range(1, len(ws) - {_DECON_N} + 2)) AS t(i)
+    ),
+    eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id,
+           CAST(count(DISTINCT e.g) AS BIGINT) AS n_hit_grams,
+           count(DISTINCT e.g) > 0 AS contaminated
+    FROM grams d LEFT JOIN eval_grams e ON d.g = e.g
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r06) — the training-pipeline op that
+    removes eval-set leakage: every training document is checked for
+    5-gram collisions against the held-out set (docs with id % 97 == 0
+    stand in for the benchmark). Scale shape: eval n-grams are a DISTINCT
+    projection (small — benchmarks are tiny next to the corpus) joined to
+    the exploded training grams on the gram key — an equi-join Spark
+    broadcasts when the eval side fits, never an all-pairs comparison.
+    The oracle re-derives the same grams and collisions in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = F.size("ws")
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - _DECON_N),
+                lambda i: F.concat_ws(" ", F.slice("ws", i + 1, _DECON_N)),
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = train.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "g", "left"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct(F.when(F.col("hit") == 1, F.col("g"))).alias(
+            "n_hit_grams"
+        ),
+        (
+            F.count_distinct(F.when(F.col("hit") == 1, F.col("g"))) > 0
+        ).alias("contaminated"),
+    )
