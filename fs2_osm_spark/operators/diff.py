@@ -41,7 +41,7 @@ def op_rank_col(op_col: str = "op"):
 
 
 def apply_diff(
-    base: DataFrame,
+    base: DataFrame | None,
     diff: DataFrame,
     key_col: str = "osm_id",
     payload_cols: tuple[str, ...] = ("lon", "lat"),
@@ -50,7 +50,10 @@ def apply_diff(
 ) -> DataFrame:
     """Apply a change set to a base table.
 
-    base: key + payload columns (implicit version 1, op 'base').
+    base: key + payload columns (implicit version 1, op 'base'), or None
+          for a changes-only merge (streaming state mode — avoids putting
+          an empty non-Arrow LocalRelation into every micro-batch plan,
+          whose first execution spins up Python workers).
     diff: key + payload + version (int) + op in create|modify|delete
           (anything else raises at execution) + optionally seq_col, a
           monotone change-sequence number from the feed.
@@ -65,18 +68,21 @@ def apply_diff(
     survivor), but semantically arbitrary: it is a last resort for exact
     duplicate deliveries, not a substitute for a sequence number.
     """
-    b = base.select(
-        key_col,
-        *payload_cols,
-        F.lit(1).alias("version"),
-        F.lit("base").alias("op"),
-        *([F.lit(0).alias(seq_col)] if seq_col else []),
-    )
     d = diff.select(
         key_col, *payload_cols, "version", "op",
         *([seq_col] if seq_col else []),
     )
-    allrows = b.unionByName(d)
+    if base is None:
+        allrows = d
+    else:
+        b = base.select(
+            key_col,
+            *payload_cols,
+            F.lit(1).alias("version"),
+            F.lit("base").alias("op"),
+            *([F.lit(0).alias(seq_col)] if seq_col else []),
+        )
+        allrows = b.unionByName(d)
     winner = F.struct(
         F.col("version").alias("v"),
         op_rank_col().alias("r"),

@@ -738,10 +738,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is what actually runs). The oracle re-derives the aggregate from
     the raw tables, so a bucket-pruning or bucket-alignment bug that
     drops/duplicates rows breaks the hash."""
+    import shutil
     import tempfile
     import uuid
-
-    import pandas as pd
 
     from fs2_osm_spark.operators.bucketing import (
         colocated_join,
@@ -777,6 +776,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_bucketed(spark, ta, tb)
+        # DROP TABLE on an external (path-option) table keeps the files:
+        # delete the staged copies or every run leaks both projections
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         pdf, "priority string, n_items long, revenue double"
     )

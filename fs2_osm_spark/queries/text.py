@@ -466,6 +466,10 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
     n = F.size("ws")
+    # docs shorter than the gram size have no grams: without the filter
+    # F.sequence(0, n-5) DESCENDS for n<5 and slice() raises on index 0
+    # (DuckDB's range() just emits nothing — a crash or an oracle split)
+    toks = toks.filter(n >= _DECON_N)
     grams = toks.select(
         "doc_id",
         F.explode(

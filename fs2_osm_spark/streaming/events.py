@@ -278,7 +278,10 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the batch twin (one merge over all events) and
     the DuckDB oracle check. State lands in a per-batch parquet dir (the
     same swap-on-write pattern a lakehouse MERGE target uses)."""
+    import shutil
     import tempfile
+
+    import pandas as pd
 
     from fs2_osm_spark.operators.diff import apply_diff
 
@@ -297,24 +300,25 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("op"),
         )
 
-    empty = spark.createDataFrame(
-        [], "user_id long, value double, event_type string"
-    )
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         changes = to_changes(batch_df)
-        if holder["path"] is not None:
-            prev = spark.read.parquet(holder["path"]).select(
+        prev_path = holder["path"]
+        if prev_path is not None:
+            prev = spark.read.parquet(prev_path).select(
                 "user_id", "value", "event_type", "version", "op"
             )
             changes = changes.unionByName(prev)
+        # base=None: changes-only merge — no empty non-Arrow relation in
+        # every batch plan (each first execution would spin Python workers)
         new_state = apply_diff(
-            empty, changes, key_col="user_id",
+            None, changes, key_col="user_id",
             payload_cols=("value", "event_type"), keep_meta=True,
         )
         out = f"{root}/v{batch_id}"
         new_state.write.mode("overwrite").parquet(out)
         holder["path"] = out
+        if prev_path is not None:  # superseded snapshot: drop it
+            shutil.rmtree(prev_path, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -325,7 +329,17 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    schema = "user_id long, value double, event_type string"
+    if holder["path"] is None:  # zero micro-batches: empty state
+        shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(pd.DataFrame(
+            {"user_id": [], "value": [], "event_type": []}), schema)
     final = spark.read.parquet(holder["path"])
-    return final.filter(F.col("op") != "delete").select(
-        "user_id", "value", "event_type"
+    # materialize before deleting the state tree the plan reads from
+    pdf = (
+        final.filter(F.col("op") != "delete")
+        .select("user_id", "value", "event_type")
+        .toPandas()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)

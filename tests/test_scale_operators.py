@@ -508,12 +508,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     b = spark.range(0, 5000, 3).select(
         F.col("id").alias("k"), (F.col("id") + 7).alias("vb")
     )
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"t_bk_a_{tag}", f"t_bk_b_{tag}"
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        write_bucketed(a, "t_bk_a", str(tmp_path / "a"), "k")
-        write_bucketed(b, "t_bk_b", str(tmp_path / "b"), "k")
-        joined = colocated_join(spark, "t_bk_a", "t_bk_b", "k")
+        write_bucketed(a, ta, str(tmp_path / "a"), "k")
+        write_bucketed(b, tb, str(tmp_path / "b"), "k")
+        joined = colocated_join(spark, ta, tb, "k")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
@@ -522,4 +526,4 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert got == want and got
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        drop_bucketed(spark, "t_bk_a", "t_bk_b")
+        drop_bucketed(spark, ta, tb)
