@@ -73,6 +73,7 @@ PRIORITY: list[str] = [
     "join_bucketed_colocated",
     "stream_cdc_merge",
     "text_decontaminate",
+    "temporal_gapfill_locf",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

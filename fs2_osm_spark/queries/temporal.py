@@ -214,3 +214,83 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id", bin_width=5 * _MIN_US,
     )
     return out.select("l_id", "r_id", "overlap")
+
+
+_GAPFILL_ORACLE = """
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+               arg_max(value, event_id) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(h) AS h_lo, max(h) AS h_hi FROM hourly
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT s.user_id, CAST(t.g AS BIGINT) AS h
+        FROM spans s, unnest(range(s.h_lo, s.h_hi + 3600, 3600)) AS t(g)
+    ),
+    joined AS (
+        SELECT g.user_id, g.h, hr.v
+        FROM grid g LEFT JOIN hourly hr
+          ON hr.user_id = g.user_id AND hr.h = g.h
+    )
+    SELECT user_id, h AS hour_epoch,
+           CAST(round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS value_locf,
+           v IS NULL AS is_gap
+    FROM joined
+"""
+
+
+@register("temporal_gapfill_locf", oracle=_GAPFILL_ORACLE)
+def temporal_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + last-observation-carried-forward (r06) — the
+    hypertable regularization op: per user, an HOURLY grid spans their
+    observed range (sequence + explode, distributed per key — no global
+    grid materialization), hourly observations left-join onto it, and
+    LOCF fills gaps with a per-key ordered window (bounded state: one
+    partition per user). is_gap marks synthesized rows. The oracle
+    re-derives grid + fill with generate_series and an IGNORE NULLS
+    window in DuckDB."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+            "event_id",
+        )
+        .groupBy(
+            "user_id",
+            F.date_trunc("hour", "ts").cast("long").alias("h"),
+        )
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h_lo"), F.col("h_hi"), F.lit(3600))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_epoch"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4)
+        .cast("double")
+        .alias("value_locf"),
+        F.col("v").isNull().alias("is_gap"),
+    )
