@@ -266,3 +266,23 @@ def test_dedup_release_pins_frees_cache(spark):
     assert not (rdd_ids() & new_ids)
     # released frames still compute (they just recompute lineage)
     assert pairs.count() >= 0
+
+
+def test_new_joins_avoid_cartesian_plans(spark):
+    """Round-6 join-shaped queries must plan as keyed joins: the
+    decontamination gram join broadcasts the (small) eval side, and the
+    bbox overlap join is an equi-join on the grid cell key — neither may
+    degrade to BroadcastNestedLoop/Cartesian."""
+    from fs2_osm_spark.queries import QUERIES
+
+    for name, want in (
+        ("text_decontaminate", "BroadcastHashJoin"),
+        ("geo_bbox_overlap_join", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert re.search(want, plan), (name, plan[:2000])
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
