@@ -7,13 +7,16 @@ two can only agree if the operator is actually correct. The range join's
 twin is the plain inequality join DuckDB evaluates via IEJoin; the Spark
 side must reproduce it through bin-and-refine blocking.
 
-All time arithmetic is epoch-microsecond bigint on both engines
-(F.unix_micros / epoch_us): integer-exact, no float rounding to reconcile.
+Time arithmetic is integer-exact on both engines. The join queries use
+epoch-MICROSECOND bigints (F.unix_micros / epoch_us); the gap-fill query
+alone works on epoch-SECOND longs (hour-truncated grid — cast long /
+floor(epoch())). The two granularities must never be mixed: an h value
+from the gap-fill grid is 1e6 off from a ts_us.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fs2_osm_spark.io import load
@@ -279,8 +282,6 @@ def temporal_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     joined = grid.join(hourly, ["user_id", "h"], "left")
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy("user_id")
         .orderBy("h")
