@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "stream_cdc_merge",
     "text_decontaminate",
     "temporal_gapfill_locf",
+    "sim_pq_encode",
     "lineage_batched_resume",
     "text_pack_bins",
     "osm_export_summary",

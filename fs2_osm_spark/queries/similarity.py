@@ -557,3 +557,119 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = kmeans_fit(emb, k=8, n_iters=3)
     return kmeans_assignments(emb, model)
+
+
+PQ_M = 8       # subspaces
+PQ_D = 8       # dims per subspace (embeddings are 64-d)
+PQ_K = 16      # codewords per subspace -> 4-bit codes
+
+
+def _pq_oracle() -> str:
+    """Product quantization re-derived in SQL: per-subspace argmin over the
+    fixed codebook (first PQ_K vectors' sub-slices) using the SAME expanded
+    L2 form `x·x - 2 x·c + c·c` the numpy kernel evaluates, 4-bit codes
+    packed into one BIGINT, and the reconstruction cosine from the chosen
+    codewords."""
+    sub = f"v[m.m * {PQ_D} + 1 : m.m * {PQ_D} + {PQ_D}]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cb AS (
+        SELECT m.m, e.vec_id AS code, {sub} AS cw
+        FROM e, ms m WHERE e.vec_id < {PQ_K}
+    ),
+    sub AS (SELECT vec_id, m.m, {sub} AS x FROM e, ms m),
+    scored AS (
+        SELECT s.vec_id, s.m, c.code,
+               list_dot_product(s.x, s.x)
+                 - 2 * list_dot_product(s.x, c.cw)
+                 + list_dot_product(c.cw, c.cw) AS d2
+        FROM sub s JOIN cb c ON c.m = s.m
+    ),
+    best AS (
+        SELECT vec_id, m, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, code) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    recon AS (
+        SELECT b.vec_id,
+               CAST(sum(b.code * (CAST(1 AS BIGINT) << (4 * b.m))) AS BIGINT)
+                   AS pq_code,
+               flatten(list(c.cw ORDER BY b.m)) AS rv
+        FROM best b JOIN cb c ON c.m = b.m AND c.code = b.code
+        GROUP BY b.vec_id
+    )
+    SELECT r.vec_id, r.pq_code,
+           CAST(round(list_dot_product(e.v, r.rv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(r.rv, r.rv))), 5) AS DOUBLE)
+               AS recon_cos
+    FROM recon r JOIN e ON e.vec_id = r.vec_id
+    """
+
+
+@register("sim_pq_encode", oracle=_pq_oracle())
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (r06) — the compression layer of
+    billion-scale ANN (IVF-PQ): each 64-d vector splits into 8 subspaces
+    encoded as the nearest of 16 fixed codewords (the first 16 corpus
+    vectors' sub-slices — deterministic, no fit), 4-bit codes packed into
+    one BIGINT (16x compression vs float32), plus the reconstruction
+    cosine measuring quantization quality. The kernel is one numpy matmul
+    per subspace per Arrow batch against the broadcast codebook; the
+    oracle re-derives codes, packing, and reconstruction independently in
+    SQL with the same expanded L2 form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    cb_rows = (
+        corpus.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    )
+    C = np.asarray([r.v for r in cb_rows], np.float64)  # (K, 64)
+    subs = [C[:, m * PQ_D : (m + 1) * PQ_D] for m in range(PQ_M)]
+    cc = [np.einsum("ij,ij->i", s, s) for s in subs]
+    bc = spark.sparkContext.broadcast((subs, cc))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("pq_code", T.LongType(), False),
+            T.StructField("recon_cos", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(it):
+        subs_b, cc_b = bc.value
+        for pdf in it:
+            X = np.stack(
+                [np.asarray(v, np.float64) for v in pdf["v"]]
+            )  # (n, 64)
+            codes = np.empty((len(X), PQ_M), np.int64)
+            recon = np.empty_like(X)
+            for m in range(PQ_M):
+                Xm = X[:, m * PQ_D : (m + 1) * PQ_D]
+                xx = np.einsum("ij,ij->i", Xm, Xm)
+                xc = Xm @ subs_b[m].T
+                d2 = xx[:, None] - 2.0 * xc + cc_b[m][None, :]
+                codes[:, m] = np.argmin(d2, axis=1)  # first min = lowest code
+                recon[:, m * PQ_D : (m + 1) * PQ_D] = subs_b[m][codes[:, m]]
+            packed = (codes << (4 * np.arange(PQ_M, dtype=np.int64))).sum(axis=1)
+            num = np.einsum("ij,ij->i", X, recon)
+            cos = num / (
+                np.sqrt(np.einsum("ij,ij->i", X, X))
+                * np.sqrt(np.einsum("ij,ij->i", recon, recon))
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pq_code": packed,
+                    "recon_cos": np.round(cos, 5),
+                }
+            )
+
+    return corpus.mapInPandas(fn, schema)
