@@ -616,7 +616,8 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-scale ANN (IVF-PQ): each 64-d vector splits into 8 subspaces
     encoded as the nearest of 16 fixed codewords (the first 16 corpus
     vectors' sub-slices — deterministic, no fit), 4-bit codes packed into
-    one BIGINT (16x compression vs float32), plus the reconstruction
+    one BIGINT (32x compression: 256-byte float32 vector -> one
+    8-byte packed long), plus the reconstruction
     cosine measuring quantization quality. The kernel is one numpy matmul
     per subspace per Arrow batch against the broadcast codebook; the
     oracle re-derives codes, packing, and reconstruction independently in

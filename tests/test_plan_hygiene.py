@@ -275,14 +275,13 @@ def test_new_joins_avoid_cartesian_plans(spark):
     degrade to BroadcastNestedLoop/Cartesian."""
     from fs2_osm_spark.queries import QUERIES
 
+    import re
+
     for name, want in (
         ("text_decontaminate", "BroadcastHashJoin"),
         ("geo_bbox_overlap_join", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
     ):
-        df = QUERIES[name].fn(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        import re
-
+        plan = _plan(QUERIES[name].fn(spark, SF_SMOKE))
         assert re.search(want, plan), (name, plan[:2000])
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
