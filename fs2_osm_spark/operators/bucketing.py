@@ -39,11 +39,17 @@ def write_bucketed(
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> DataFrame:
-    """Join two same-bucketed tables on their bucket key. With broadcast
-    disabled this plans as a sort-merge join with NO shuffle on either
-    side (bucket counts match, so partitioning already satisfies the
-    join's distribution requirement)."""
-    return spark.table(left_table).join(spark.table(right_table), key)
+    """Join two same-bucketed tables on their bucket key: a sort-merge
+    join with NO shuffle on either side (bucket counts match, so the
+    existing partitioning satisfies the join's distribution requirement).
+    The MERGE hint pins the SMJ strategy even when the planner would
+    auto-broadcast a small side — without it the write-once-shuffle
+    property silently evaporates on small tables under default conf."""
+    return (
+        spark.table(left_table)
+        .hint("merge")
+        .join(spark.table(right_table), key)
+    )
 
 
 def drop_bucketed(spark: SparkSession, *table_names: str) -> None:

@@ -64,12 +64,30 @@ def compact_table(
 
 def collect_table_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     """One row per column: min/max (as strings, type-agnostic), null
-    count, approximate NDV. Single aggregate pass over the table."""
+    count, approximate NDV. Single aggregate pass over the table.
+
+    Float/double min/max are canonicalized through DECIMAL(38,9) before
+    stringifying: Spark renders doubles >= 1e7 in scientific notation
+    (1.2E7) while SQL engines' VARCHAR casts do not, so a raw string cast
+    would make downstream comparisons depend on value magnitude. The
+    decimal detour prints plain fixed-point digits identically everywhere
+    (a binary double can never sit exactly on a half at the 9th decimal,
+    so round-half direction differences cannot bite)."""
+    ftypes = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+
+    def canon(col: str, agg) -> F.Column:
+        c = agg(col)
+        if ftypes.get(col) in ("float", "double"):
+            c = c.cast("decimal(38,9)")
+        return c.cast("string")
+
     aggs = []
     for c in columns:
         aggs += [
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            canon(c, F.min).alias(f"{c}__min"),
+            canon(c, F.max).alias(f"{c}__max"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
             F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__ndv"),
         ]

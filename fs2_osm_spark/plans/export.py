@@ -109,7 +109,11 @@ def run_export(
     if sink_parallelism > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(member_tables)) as ex:
+        # honor the caller's parallelism cap in Phase A too (a caller
+        # throttling to sink_parallelism=2 must not get 4 concurrent jobs)
+        with ThreadPoolExecutor(
+            max_workers=min(sink_parallelism, len(member_tables))
+        ) as ex:
             futures = {
                 n: ex.submit(sink, df, n) for n, df in member_tables.items()
             }

@@ -457,7 +457,7 @@ def _audio_fp_oracle() -> str:
 
 @register("audio_fingerprint_dedup", oracle=_audio_fp_oracle())
 def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-dup detection (r06): per-clip 16-band spectral
+    """Audio near-dup detection (r06): per-clip 64-band spectral
     fingerprint (energy-concentration bits — the audio SimHash) computed
     from the decoded WAV inside Arrow batches, then a fingerprint
     groupBy gives dedup clusters: same-tone-structure clips collide

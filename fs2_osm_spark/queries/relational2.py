@@ -643,6 +643,7 @@ def table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives from the source table, plus the contract boolean
     that compaction actually reduced the file count. Content loss, row
     duplication, or a no-op compaction all break the hash."""
+    import shutil
     import tempfile
 
     from fs2_osm_spark.operators.maintenance import compact_table
@@ -650,15 +651,23 @@ def table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     frag = tempfile.mkdtemp(prefix="frag_")
     dst = tempfile.mkdtemp(prefix="compact_")
-    orders.repartition(64).write.mode("overwrite").parquet(frag)
-    res = compact_table(spark, frag, dst, target_file_mb=256)
-    out = spark.read.parquet(dst)
-    return out.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-        F.lit(res["files_after"] < res["files_before"]).alias(
-            "compacted_fewer_files"
-        ),
+    try:
+        orders.repartition(64).write.mode("overwrite").parquet(frag)
+        res = compact_table(spark, frag, dst, target_file_mb=256)
+        out = spark.read.parquet(dst)
+        # materialize before removing the staging dirs the plan reads from
+        pdf = out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.lit(res["files_after"] < res["files_before"]).alias(
+                "compacted_fewer_files"
+            ),
+        ).toPandas()
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "n_rows long, key_sum long, compacted_fewer_files boolean"
     )
 
 
@@ -680,7 +689,8 @@ def table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'o_totalprice',
-           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(38,9)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(38,9)) AS VARCHAR),
            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            TRUE
     FROM orders

@@ -125,6 +125,7 @@ def part_hilbert_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the PartitionFilters entry). The oracle re-derives every
     point's bucket arithmetically in DuckDB and applies the same range, so
     a mis-bucketed write OR an over/under-pruned read breaks the hash."""
+    import shutil
     import tempfile
 
     from fs2_osm_spark.functions.geo import synth_lat, synth_lon
@@ -140,10 +141,18 @@ def part_hilbert_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_lat(F.col("o_orderkey")).alias("lat"),
     )
     path = tempfile.mkdtemp(prefix="hilbert_layout_")
-    write_hilbert_clustered(
-        pts, path, "lon", "lat", _HILBERT_ORDER, ["point_id"],
-        bucket_div=_HB_DIV,
-    )
-    return read_hilbert_bucket_range(spark, path, _HB_LO, _HB_HI).select(
-        "point_id", F.col("h_bucket").cast("bigint").alias("h_bucket")
-    )
+    try:
+        write_hilbert_clustered(
+            pts, path, "lon", "lat", _HILBERT_ORDER, ["point_id"],
+            bucket_div=_HB_DIV,
+        )
+        # materialize before removing the staged layout the plan reads from
+        # (the pruned-scan PLAN shape — PartitionFilters, shrunken
+        # inputFiles — is pinned by tests/test_scale_operators.py on the
+        # operator itself)
+        pdf = read_hilbert_bucket_range(spark, path, _HB_LO, _HB_HI).select(
+            "point_id", F.col("h_bucket").cast("bigint").alias("h_bucket")
+        ).toPandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(pdf, "point_id long, h_bucket long")

@@ -277,12 +277,17 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative, so the result is independent of micro-batch boundaries —
     which is exactly what the batch twin (one merge over all events) and
     the DuckDB oracle check. State lands in a per-batch parquet dir (the
-    same swap-on-write pattern a lakehouse MERGE target uses)."""
+    same swap-on-write pattern a lakehouse MERGE target uses), and the
+    FINAL state is swapped through catalog.write_table into a durable
+    table the returned DataFrame reads — the driver never materializes
+    state (r07; the r06 version round-tripped it through toPandas)."""
+    import os
     import shutil
     import tempfile
 
     import pandas as pd
 
+    from fs2_osm_spark.catalog import read_table, write_table
     from fs2_osm_spark.operators.diff import apply_diff
 
     stream = _events_stream(spark, sf_dir)
@@ -335,11 +340,18 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pd.DataFrame(
             {"user_id": [], "value": [], "event_type": []}), schema)
     final = spark.read.parquet(holder["path"])
-    # materialize before deleting the state tree the plan reads from
-    pdf = (
-        final.filter(F.col("op") != "delete")
-        .select("user_id", "value", "event_type")
-        .toPandas()
+    # durable snapshot swap: write the cleaned final state THROUGH the
+    # table-format boundary (one distributed job — tombstones dropped, meta
+    # columns pruned), then drop the per-batch working tree and return a
+    # plain read of the durable table. A fixed path (not mkdtemp) keeps
+    # repeated runs from accumulating state trees: each run's overwrite
+    # replaces the previous snapshot.
+    state_table = os.path.join(tempfile.gettempdir(), "fs2_osm_cdc_state")
+    write_table(
+        final.filter(F.col("op") != "delete").select(
+            "user_id", "value", "event_type"
+        ),
+        state_table,
     )
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema)
+    return read_table(spark, state_table)
