@@ -36,10 +36,34 @@ HEADLINE = [
     "geo_tile_assignment",
     "geo_pip_broadcast_join",
     "geo_knn_kring",
-    "dedup_minhash_fast",
     "sim_bucket_ann",
     "text_fingerprint",
 ]
+
+
+def dedup_minhash_sf(spark, sf_dir: str):
+    """The xxhash64 MinHash+LSH+CC pipeline over the SF-SCALED documents
+    corpus (docs ∪ mutants, the shape queries/dedup.py used before r07
+    moved the registered query onto the fixed fixture corpus) — bench
+    keeps timing the scale-dependent pipeline under its historical name."""
+    from pyspark.sql import functions as F
+
+    from fs2_osm_spark.io import load
+    from fs2_osm_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz yyy xxx")).alias("text"),
+    )
+    corpus = docs.unionByName(mut)
+    sigs = minhash_signatures(corpus, "doc_id", "text", n_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8, n_hashes=32)
+    return connected_components(pairs)
 
 
 def sf_of(sf_dir: str) -> float:
@@ -252,6 +276,10 @@ def main() -> None:
         for name in HEADLINE:
             q = QUERIES[name]
             timed(name, lambda q=q: q.fn(spark, sf_dir).count())
+        timed(
+            "dedup_minhash_fast",
+            lambda: dedup_minhash_sf(spark, sf_dir).count(),
+        )
         # free the dedup/packing plan-pins between bench sections
         # (cached blocks otherwise accumulate for the rest of the session)
         from fs2_osm_spark.operators.dedup import release_pins

@@ -157,6 +157,77 @@ def ivf_search(
     ).filter(F.col("rank") <= k)
 
 
+# ------------------------------------------------------------------ PQ -----
+def pq_codes(
+    df: DataFrame,
+    subs: list[np.ndarray],
+    id_cols: tuple[str, ...] = ("vec_id", "centroid_id"),
+    vec_col: str = "v",
+) -> DataFrame:
+    """Product-quantization encode: the compressed index rows of IVF-PQ.
+
+    Each vector splits into len(subs) subspaces; each subspace is encoded as
+    the argmin-L2 codeword index (expanded form x·x − 2 x·c + c·c, ties →
+    lowest code) and the 4-bit codes pack into ONE BIGINT — a billion-row
+    index is 8 bytes/vector plus ids, small enough to keep hot. One numpy
+    matmul per subspace per Arrow batch against the broadcast codebook; the
+    payload vector column is DROPPED on output (that is the point: ADC
+    search never touches raw vectors until the exact rerank).
+    """
+    n_sub = len(subs)
+    k = subs[0].shape[0]
+    assert k <= 16 and n_sub <= 16, "4-bit packing needs K<=16 codewords"
+    d_sub = subs[0].shape[1]
+    cc = [np.einsum("ij,ij->i", s, s) for s in subs]
+    bc = df.sparkSession.sparkContext.broadcast((subs, cc))
+    id_fields = [f for f in df.schema.fields if f.name in id_cols]
+    schema = T.StructType(
+        id_fields + [T.StructField("pq_code", T.LongType(), False)]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs_b, cc_b = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(x), n_sub), np.int64)
+            for m in range(n_sub):
+                xm = x[:, m * d_sub : (m + 1) * d_sub]
+                xx = np.einsum("ij,ij->i", xm, xm)
+                xc = xm @ subs_b[m].T
+                d2 = xx[:, None] - 2.0 * xc + cc_b[m][None, :]
+                codes[:, m] = np.argmin(d2, axis=1)  # first min = lowest code
+            packed = (codes << (4 * np.arange(n_sub, dtype=np.int64))).sum(axis=1)
+            out = {c: pdf[c] for c in id_cols if c in pdf}
+            out["pq_code"] = packed
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema)
+
+
+def pq_lut(queries: np.ndarray, subs: list[np.ndarray], scale: int) -> np.ndarray:
+    """Per-query ADC lookup tables, INTEGER-quantized: entry (m, j) is the
+    L2² distance from the query's m-th sub-slice to codeword j, times
+    `scale`, floor(x+0.5)-rounded to BIGINT. Integer LUTs make the ADC sum
+    exact arithmetic — bit-identical across engines and reduce orders —
+    instead of a float knife-edge. Shape (n_queries, n_sub * k), m-major."""
+    n_sub = len(subs)
+    k = subs[0].shape[0]
+    d_sub = subs[0].shape[1]
+    luts = np.empty((len(queries), n_sub * k), np.int64)
+    for m in range(n_sub):
+        xm = queries[:, m * d_sub : (m + 1) * d_sub]
+        xx = np.einsum("ij,ij->i", xm, xm)
+        xc = xm @ subs[m].T
+        cc = np.einsum("ij,ij->i", subs[m], subs[m])
+        d2 = xx[:, None] - 2.0 * xc + cc[None, :]
+        luts[:, m * k : (m + 1) * k] = np.floor(d2 * scale + 0.5).astype(
+            np.int64
+        )
+    return luts
+
+
 # -------------------------------------------------------------- k-means ----
 def kmeans_fit(
     corpus: DataFrame,

@@ -268,54 +268,93 @@ def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("doc_id").agg(bits.cast("bigint").alias("simhash"))
 
 
-@register("dedup_minhash_fast", oracle=None)
+def _minhash_cc_oracle() -> str:
+    from fs2_osm_spark.synth.staging import dedup_fixture_path
+
+    return f"""
+    SELECT id, CAST(cluster AS BIGINT) AS cluster
+    FROM read_parquet('{dedup_fixture_path("minhash_cc")}')
+    """
+
+
+@register("dedup_minhash_fast", oracle=_minhash_cc_oracle())
 def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-native xxhash64 MinHash+LSH+connected-components pipeline
-    (JVM-side hashing; rows-only check — xxhash64 has no DuckDB twin;
-    semantics pinned by tests/test_scale_operators.py)."""
+    """Engine-native xxhash64 MinHash+LSH+connected-components pipeline,
+    hard-oracled (r07) on the fixed synth/docs.py corpus: the committed
+    fixture records, by driver-side BRUTE FORCE, the band-fragment
+    EQUALITY pairs (plain tuple compare — no banding join, no xxhash band
+    keys) pushed through a python union-find — so the distributed banding
+    self-join AND the iterative min-label propagation must together
+    reproduce first-principles clusters exactly (anti-drift pytest:
+    tests/test_dedup_fixture.py). The sf-scaled throughput of the same
+    pipeline is what bench.py times (dedup_minhash_fast section)."""
     from fs2_osm_spark.operators.dedup import (
         connected_components,
         lsh_candidate_pairs,
         minhash_signatures,
     )
+    from fs2_osm_spark.synth.docs import dedup_corpus
+    from fs2_osm_spark.synth.staging import ensure_dedup_fixture
 
-    corpus = _corpus(spark, sf_dir)
-    sigs = minhash_signatures(corpus, "doc_id", "text", n_hashes=32)
+    ensure_dedup_fixture(spark)
+    sigs = minhash_signatures(dedup_corpus(spark), "doc_id", "text", n_hashes=32)
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=8, n_hashes=32)
-    return connected_components(pairs)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
 
 
-@register("dedup_simhash_fast", oracle=None)
+def _simhash_oracle(name: str) -> str:
+    from fs2_osm_spark.synth.staging import dedup_fixture_path
+
+    return f"""
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM read_parquet('{dedup_fixture_path(name)}')
+    """
+
+
+@register("dedup_simhash_fast", oracle=_simhash_oracle("simhash_d3"))
 def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit xxhash64 SimHash + blocked hamming pairs (rows-only).
-
-    Registered at the standard SimHash near-dup operating point d=3
-    (4 exact bands of 16 bits — ~65k-key bands prune hard at any N); the
-    r02 setting (d=12 → 13 bands of ~5 bits, ~N²/32 candidates per band)
-    was a scale trap. Larger radii go through the multi-probe path, see
-    dedup_simhash_multiprobe."""
+    """64-bit xxhash64 SimHash + blocked hamming pairs, hard-oracled (r07)
+    at the standard near-dup operating point d=3 (4 exact bands of 16 bits
+    — ~65k-key bands prune hard at any N; the r02 d=12 setting was a scale
+    trap). The committed fixture records the ALL-PAIRS numpy-popcount
+    ground truth over the fixed corpus's simhashes, so the pigeonhole
+    banding join must find exactly the full d<=3 pair set its recall
+    guarantee promises. Larger radii: dedup_simhash_multiprobe."""
     from fs2_osm_spark.operators.dedup import hamming_pairs, simhash64
+    from fs2_osm_spark.synth.docs import dedup_corpus
+    from fs2_osm_spark.synth.staging import ensure_dedup_fixture
 
-    corpus = _corpus(spark, sf_dir)
-    sims = simhash64(corpus, "doc_id", "text")
-    return hamming_pairs(sims, "doc_id", max_distance=3)
+    ensure_dedup_fixture(spark)
+    sims = simhash64(dedup_corpus(spark), "doc_id", "text")
+    return hamming_pairs(sims, "doc_id", max_distance=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
-@register("dedup_simhash_multiprobe", oracle=None)
+@register("dedup_simhash_multiprobe", oracle=_simhash_oracle("simhash_d8"))
 def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wider-radius SimHash near-dup via 1-bit multi-probe banding
-    (rows-only; recall vs brute force pinned by pytest).
+    """Wider-radius SimHash near-dup via 1-bit multi-probe banding,
+    hard-oracled (r07) against the same all-pairs popcount fixture at d=8.
 
     d=8 → 5 bands of ~13 bits: the probe side emits each band key plus its
     ≤1-bit flips (~14 keys/band), buying half the band count of exact
     banding and so squaring the per-band key space (8k vs ~90 keys) —
     candidate volume stays ~linear in N where exact banding at d=8
-    degenerates toward all-pairs."""
+    degenerates toward all-pairs. The fixture makes the multi-probe recall
+    guarantee a hard equality, not a pytest bound."""
     from fs2_osm_spark.operators.dedup import hamming_pairs, simhash64
+    from fs2_osm_spark.synth.docs import dedup_corpus
+    from fs2_osm_spark.synth.staging import ensure_dedup_fixture
 
-    corpus = _corpus(spark, sf_dir)
-    sims = simhash64(corpus, "doc_id", "text")
-    return hamming_pairs(sims, "doc_id", max_distance=8)
+    ensure_dedup_fixture(spark)
+    sims = simhash64(dedup_corpus(spark), "doc_id", "text")
+    return hamming_pairs(sims, "doc_id", max_distance=8).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
 @register(

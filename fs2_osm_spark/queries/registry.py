@@ -46,79 +46,48 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-sample priority: the correctness driver runs the FIRST ~50 entries
-# of queries() in iteration order (proven in rounds 1-5). Rotation rule for
-# round 6: (a) operators changed/added this round (lineage record()
-# session-independence fix — the r05 red row — packing guards, export with
-# the two new relation-member tables, way/relation Info decode, the new
-# flagship/S2 oracles), (b) oracled queries whose newest green row is r03
-# (three rounds stale — the judge's rotation debt list), (c) newest green
-# row is r04, oldest first. Freshly-green r05 queries fall to the back —
-# their rows stand.
+# of queries() in iteration order (proven in rounds 1-6). Rotation rule for
+# round 7: (a) queries added or behavior-changed this round (the new IVF-PQ
+# ADC search, the xxhash dedup trio converted from rows-only to
+# fixture-recorded oracles, the CDC durable-snapshot swap, the
+# staging-cleanup/materialization rewrites, plus the two rows-only
+# iterative fast paths the judge asked to resurface), then (b) every
+# oracled query whose newest green row is r04 or older — the r06 verdict's
+# 32-name staleness-debt list — oldest first. Freshly-green r05/r06
+# queries fall to the back; their rows stand.
 PRIORITY: list[str] = [
-    # (a) changed or added in round 6
-    "img_flagship_small_oracle",
-    "geo_s2_cell_assignment",
-    "sim_kmeans_fit_md5",
-    "text_global_shuffle",
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "part_hilbert_pruned_scan",
-    "osm_apply_diff",
-    "audio_features",
-    "audio_fingerprint_dedup",
-    "video_frame_stats",
+    # (a) added or behavior-changed in round 7
+    "sim_pq_ann",
+    "dedup_minhash_fast",
+    "dedup_simhash_fast",
+    "dedup_simhash_multiprobe",
+    "stream_cdc_merge",
     "table_compaction",
     "table_stats",
-    "geo_bbox_overlap_join",
+    "part_hilbert_pruned_scan",
     "join_bucketed_colocated",
-    "stream_cdc_merge",
-    "text_decontaminate",
-    "temporal_gapfill_locf",
-    "sim_pq_encode",
-    "lineage_batched_resume",
-    "text_pack_bins",
-    "osm_export_summary",
-    "osm_way_frame_decode",
-    "osm_relation_frame_decode",
-    # (b) newest green row is r03 — the judge-flagged rotation debt
-    "sim_bucket_ann",
-    "sim_cosine_topk",
-    "sim_embedding_neardup",
-    "sim_embedding_quantize",
-    "sim_kmeans_assign",
-    "sim_lsh_buckets",
-    "temporal_range_join",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    # (c) newest green row is r04
-    "r25_limit_take",
-    "r27_dedupe_keep_first",
-    "r28_union_all",
-    "r29_kind_default",
-    "topk_window",
-    "agg_pricing_summary",
-    "geo_pip_broadcast_join",
-    "geo_pip_cell_join",
-    "dedup_lsh_pairs",
-    "stream_windowed_counts",
-    "stream_dedupe",
-    "stream_sessionize",
-    "stream_multirollup",
-    "stream_static_join",
+    "sim_ivf_ann",
+    "sim_kmeans_clusters",
+    # (b) newest green row r04 or older (r06 verdict staleness-debt list)
+    "geo_hex_cell_equalarea",
+    "dedup_cc_clusters",
+    "osm_decode_semantics_oracle",
+    "img_pixel_roundtrip",
+    "img_decode_dims",
+    "img_resize",
+    "img_resize_stats",
+    "img_frame_sample",
     "skew_salted_agg",
     "skew_salted_join",
     "part_hilbert_key",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q10_returned_items",
-    "r11_derived_reuse",
     "r21_collect_members",
     "r22_dump_parts",
     "r23_type_filter",
+    "r11_derived_reuse",
     "d6_summary_fold",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
     "agg_rollup",
     "agg_cube",
     "agg_percentiles",
@@ -127,16 +96,8 @@ PRIORITY: list[str] = [
     "geom_line_length",
     "geom_centroid",
     "geom_polygon_area",
-    "osm_decode_semantics_oracle",
-    "dedup_cc_clusters",
-    "geo_hex_cell_equalarea",
     "temporal_asof_join",
-    "img_decode_dims",
     "temporal_asof_forward",
-    "img_resize",
-    "img_resize_stats",
-    "img_pixel_roundtrip",
-    "img_frame_sample",
 ]
 
 

@@ -674,3 +674,251 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return corpus.mapInPandas(fn, schema)
+
+
+PQ_PROBE = 6             # IVF lists probed by ADC search (ADC scoring is
+                         # cheap integer lookups, so IVF-PQ probes more
+                         # lists than the raw-vector IVF path's 4)
+PQ_RERANK = 40           # ADC shortlist size fed to the exact rerank
+PQ_LUT_SCALE = 1_000_000  # LUT quantum: 1e-6 of L2² -> exact BIGINT ADC sums
+
+
+def _pq_ann_oracle() -> str:
+    """The COMPLETE IVF-PQ ADC search re-derived in DuckDB: md5-strided
+    coarse quantizer, argmax list assignment, per-subspace argmin codes,
+    n_probe nearest-list probe, per-query INTEGER lookup tables (same
+    floor(d2*scale+0.5) quantization as the numpy side — the ADC sum is
+    exact BIGINT arithmetic on both engines, so candidate ranking cannot
+    drift on float reduce order), top-RERANK shortlist, exact cosine
+    rerank with the engine's (round(cos,7) DESC, id) tie-break."""
+    from fs2_osm_spark.functions.text import h16_sql
+
+    h = h16_sql("CAST(vec_id AS VARCHAR)")
+    sub = f"v[m.m * {PQ_D} + 1 : m.m * {PQ_D} + {PQ_D}]"
+    d2 = (
+        "list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, c.cw)"
+        " + list_dot_product(c.cw, c.cw)"
+    )
+    cosq = (
+        "list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(n.v, n.v)))"
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent_sel AS (
+        SELECT vec_id, v, {h} AS h FROM e
+        WHERE {h} % {IVF_MOD} = 0
+        ORDER BY h, vec_id LIMIT {IVF_K}
+    ),
+    cents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+        FROM cent_sel
+    ),
+    cos_all AS MATERIALIZED (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM e CROSS JOIN cents c
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM cos_all
+        ) WHERE rn = 1
+    ),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cb AS MATERIALIZED (
+        SELECT m.m, e.vec_id AS code, {sub} AS cw
+        FROM e, ms m WHERE e.vec_id < {PQ_K}
+    ),
+    sub AS MATERIALIZED (SELECT vec_id, m.m, {sub} AS x FROM e, ms m),
+    codes AS MATERIALIZED (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {d2}, c.code) AS rn
+            FROM sub s JOIN cb c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM cos_all WHERE vec_id < {N_QUERIES}
+        ) WHERE rn <= {PQ_PROBE}
+    ),
+    lut AS MATERIALIZED (
+        SELECT s.vec_id AS query_id, s.m, c.code,
+               CAST(floor(({d2}) * {PQ_LUT_SCALE} + 0.5) AS BIGINT) AS dq
+        FROM sub s JOIN cb c ON c.m = s.m
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, sum(l.dq) AS adc
+        FROM probe p
+        JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN codes k ON k.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id AND l.m = k.m
+                  AND l.code = k.code
+        GROUP BY p.query_id, a.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {PQ_RERANK}
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           CAST(round(cos, 6) AS DOUBLE) AS cos_sim
+    FROM (
+        SELECT s.query_id, s.neighbor_id, {cosq} AS cos,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY round({cosq}, 7) DESC,
+                                           s.neighbor_id) AS rank
+        FROM short s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e n ON n.vec_id = s.neighbor_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_pq_ann", oracle=_pq_ann_oracle())
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search (r07) — the query path a billion-vector index
+    actually runs, completing r06's encode-only sim_pq_encode:
+
+    1. index build: md5-strided IVF coarse quantizer (the sim_ivf_ann_md5
+       sample), argmax list assignment, then pq_codes drops the raw
+       vectors — the searchable index is (vec_id, centroid_id, one packed
+       BIGINT of 4-bit codes), 8 bytes of payload per vector;
+    2. query side: each of the N_QUERIES queries gets its n_probe nearest
+       lists plus an INTEGER lookup table (128 BIGINTs = L2² distances to
+       every codeword, floor(d2*1e6+0.5)-quantized) — LUTs are built
+       driver-side (O(queries), tiny) and shipped in the broadcast;
+    3. ADC scoring is pure JVM Column arithmetic: candidates come from the
+       broadcast (query, probed-centroid) equi-join against the code
+       index, and the asymmetric distance is the SUM of 8 element_at LUT
+       lookups keyed by 4-bit shifts of pq_code — integer-exact, no float
+       drift, no Python, no raw vectors touched;
+    4. the top-PQ_RERANK shortlist per query (tie-break neighbor_id) is
+       broadcast back against the corpus for the exact cosine rerank.
+
+    The DuckDB twin re-derives the whole pipeline — codes, probes, integer
+    LUTs, ADC sums, shortlist, rerank — independently in SQL; recall vs
+    exact brute force is pinned by tests/test_pq_ann.py."""
+    import numpy as np
+    import pandas as pd
+
+    from fs2_osm_spark.functions.text import h16_sql
+    from fs2_osm_spark.operators.similarity import (
+        ivf_assign,
+        pq_codes,
+        pq_lut,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+
+    # coarse quantizer: the portable md5-strided sample
+    h = F.expr(h16_sql("CAST(vec_id AS STRING)")).cast("bigint")
+    sampled = (
+        corpus.withColumn("h", h)
+        .filter(F.pmod(F.col("h"), F.lit(IVF_MOD)) == 0)
+        .orderBy("h", "vec_id")
+        .limit(IVF_K)
+        .collect()
+    )
+    cents = [(i, np.asarray(r.v, np.float64)) for i, r in enumerate(sampled)]
+    cm = np.stack([c for _, c in cents])
+
+    # codebook: first PQ_K corpus vectors' sub-slices (fixed, no fit)
+    cb_rows = corpus.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    cmat = np.asarray([r.v for r in cb_rows], np.float64)
+    subs = [cmat[:, m * PQ_D : (m + 1) * PQ_D] for m in range(PQ_M)]
+
+    # compressed index: codes only, vectors dropped
+    index = pq_codes(ivf_assign(corpus, cents), subs)
+
+    # query side, driver-built (O(N_QUERIES) rows): probe lists + int LUTs
+    q_rows = corpus.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    qmat = np.asarray([r.v for r in q_rows], np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    sims = qn @ cmn.T
+    # stable argsort on -sims: ties keep ascending cid, matching the SQL
+    # (cos DESC, cid) probe order
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, :PQ_PROBE]
+    luts = pq_lut(qmat, subs, PQ_LUT_SCALE)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    [r.vec_id for r in q_rows], PQ_PROBE
+                ),
+                "centroid_id": probes.reshape(-1),
+                "qv": [r.v for r in q_rows for _ in range(PQ_PROBE)],
+                "lut": [luts[i].tolist() for i in range(len(q_rows))
+                        for _ in range(PQ_PROBE)],
+            }
+        ),
+        "query_id long, centroid_id long, qv array<double>, lut array<bigint>",
+    )
+
+    # ADC: broadcast probe rows -> centroid equi-join -> 8 integer lookups
+    cand = (
+        F.broadcast(qdf)
+        .join(index, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc = None
+    for m in range(PQ_M):
+        code = (
+            F.shiftrightunsigned(F.col("pq_code"), 4 * m)
+            .bitwiseAND(F.lit(15))
+            .cast("int")
+        )
+        term = F.element_at(F.col("lut"), code + F.lit(m * PQ_K + 1))
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id", "qv", F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.select(
+            "query_id", "qv", "neighbor_id",
+            F.row_number().over(w).alias("adc_rank"),
+        )
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+    )
+
+    # exact rerank: the tiny shortlist broadcasts against the corpus
+    rer = F.broadcast(shortlist).join(
+        corpus, F.col("vec_id") == F.col("neighbor_id")
+    )
+    exact = rer.select(
+        "query_id", "neighbor_id",
+        _cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 7).desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.select(
+            "query_id",
+            F.row_number().over(w2).cast("bigint").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )

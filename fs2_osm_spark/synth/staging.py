@@ -319,6 +319,110 @@ def ensure_flagship_fixture(spark) -> str:
     return FLAGSHIP_FIXTURE
 
 
+DEDUP_FIXTURE_DIR = os.path.join(_REPO_ROOT, "fixtures", "dedup_oracle")
+
+
+def dedup_fixture_path(name: str) -> str:
+    return os.path.join(DEDUP_FIXTURE_DIR, f"{name}.parquet")
+
+
+def dedup_ground_truth(spark) -> dict[str, "pd.DataFrame"]:
+    """BRUTE-FORCE ground truth for the engine-native xxhash64 dedup trio
+    over the fixed synth/docs.py corpus. The Spark kernels supply only the
+    HASHES (signature minima / simhash bits — those are the operators'
+    definition); everything downstream is recomputed driver-side with none
+    of the distributed machinery under test:
+
+    - simhash_d3 / simhash_d8: ALL-PAIRS numpy popcount over the 800
+      simhashes (no banding, no multi-probe, no join) — certifies that the
+      pigeonhole-banded hamming_pairs join finds exactly the full pair set
+      its recall guarantee promises, at both the exact-band (d=3) and
+      1-bit multi-probe (d=8) operating points.
+    - minhash_cc: band-fragment EQUALITY pairs (plain tuple compare — no
+      xxhash band keys, no self-join) fed through a python union-find with
+      min-label representatives — certifies banding + the iterative
+      min-label-propagation connected_components together.
+    """
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from fs2_osm_spark.operators.dedup import minhash_signatures, simhash64
+    from fs2_osm_spark.synth.docs import dedup_corpus, popcount64
+
+    corpus = dedup_corpus(spark)
+    sim_rows = simhash64(corpus, "doc_id", "text").collect()
+    order = np.argsort([r.doc_id for r in sim_rows])
+    ids = np.array([sim_rows[i].doc_id for i in order], np.int64)
+    hs = np.array([sim_rows[i].simhash for i in order], np.int64).view(np.uint64)
+    d = popcount64(hs[:, None] ^ hs[None, :])
+    iu = np.triu_indices(len(ids), k=1)
+    dists = d[iu]
+    out: dict[str, pd.DataFrame] = {}
+    for name, dmax in (("simhash_d3", 3), ("simhash_d8", 8)):
+        mask = dists <= dmax
+        out[name] = pd.DataFrame(
+            {
+                "id_a": ids[iu[0][mask]],
+                "id_b": ids[iu[1][mask]],
+                "hamming": dists[mask],
+            }
+        )
+
+    sig_rows = minhash_signatures(corpus, "doc_id", "text", n_hashes=32).collect()
+    sid = [r.doc_id for r in sig_rows]
+    sigs = np.array([r.sig for r in sig_rows], np.int64)
+    pairs: set[tuple[int, int]] = set()
+    for b in range(8):
+        groups: dict[tuple, list[int]] = defaultdict(list)
+        for k, did in enumerate(sid):
+            groups[tuple(sigs[k, b * 4 : (b + 1) * 4])].append(did)
+        for g in groups.values():
+            if len(g) > 1:
+                g = sorted(g)
+                for x in range(len(g)):
+                    for y in range(x + 1, len(g)):
+                        pairs.add((g[x], g[y]))
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = defaultdict(list)
+    for x in {v for p in pairs for v in p}:
+        comp[find(x)].append(x)
+    rows = sorted(
+        (x, min(mem)) for mem in comp.values() for x in mem
+    )
+    out["minhash_cc"] = pd.DataFrame(rows, columns=["id", "cluster"])
+    return out
+
+
+def ensure_dedup_fixture(spark) -> str:
+    """Record the brute-force dedup ground truth (committed parquet; the
+    anti-drift test recomputes it live in tests/test_dedup_fixture.py)."""
+    if not all(
+        os.path.exists(dedup_fixture_path(n))
+        for n in ("simhash_d3", "simhash_d8", "minhash_cc")
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(DEDUP_FIXTURE_DIR, exist_ok=True)
+        for name, pdf in dedup_ground_truth(spark).items():
+            tmp = dedup_fixture_path(name) + ".tmp"
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+            os.replace(tmp, dedup_fixture_path(name))
+    return DEDUP_FIXTURE_DIR
+
+
 AUDIO_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "audio_oracle.parquet")
 N_FIXTURE_CLIPS = 1_000
 
