@@ -288,6 +288,60 @@ def main() -> None:
         release_pins()
         release_pack()
 
+        # IVF-PQ at index scale: 1M synthetic 64-d vectors (pure Column
+        # arithmetic — no data files), 64 IVF lists, 4-bit PQ codes.
+        # sim_pq_index_1m = one-time index build (assign + encode,
+        # materialized); sim_pq_search_1m = the steady-state ADC query
+        # path over the codes-only index (32 queries, 8 probes, rerank
+        # 100). Correctness of the identical operators is hard-oracled at
+        # small scale by sim_pq_ann.
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from fs2_osm_spark.operators.similarity import (
+            ivf_assign,
+            pq_adc_search,
+            pq_codes,
+        )
+
+        n_vec, dim = 1_000_000, 64
+        comps = [
+            (((F.col("id") + 1) * (7919 + 104729 * d)) % 2000 / 1000.0 - 1.0)
+            .cast("double")
+            for d in range(dim)
+        ]
+        vec_corpus = spark.range(0, n_vec, 1, 64).select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("v")
+        )
+        cent_rows = (
+            vec_corpus.filter(F.col("vec_id") % (n_vec // 64) == 0)
+            .orderBy("vec_id").limit(64).collect()
+        )
+        cents = [(i, np.asarray(r.v, np.float64)) for i, r in enumerate(cent_rows)]
+        cm = np.stack([c for _, c in cents])
+        cb = np.asarray(
+            [r.v for r in vec_corpus.filter(F.col("vec_id") < 16)
+             .orderBy("vec_id").collect()],
+            np.float64,
+        )
+        subs = [cb[:, m * 8 : (m + 1) * 8] for m in range(8)]
+        t0 = time.time()
+        pq_index = pq_codes(ivf_assign(vec_corpus, cents), subs).persist()
+        pq_index.count()
+        timings["sim_pq_index_1m"] = round(time.time() - t0, 3)
+        q_rows = vec_corpus.filter(F.col("vec_id") < 32).orderBy("vec_id").collect()
+        timed(
+            "sim_pq_search_1m",
+            lambda: pq_adc_search(
+                pq_index, vec_corpus,
+                q_ids=np.asarray([r.vec_id for r in q_rows], np.int64),
+                qmat=np.asarray([r.v for r in q_rows], np.float64),
+                cents=cm, subs=subs, n_probe=8, rerank=100, top_k=10,
+            ).count(),
+        )
+        pq_index.unpersist()
+
         # full PBF lifecycle: synthesize frames -> wire decode -> export
         # fan-out + 17 feature passes -> flagship join, batched + lineage
         # (the reference's whole runExport stitched to the north rule)

@@ -206,6 +206,108 @@ def pq_codes(
     return df.mapInPandas(fn, schema)
 
 
+def pq_adc_search(
+    index: DataFrame,
+    corpus: DataFrame,
+    q_ids: np.ndarray,
+    qmat: np.ndarray,
+    cents: np.ndarray,
+    subs: list[np.ndarray],
+    n_probe: int,
+    rerank: int,
+    top_k: int,
+    lut_scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """ADC search over a pq_codes index — the IVF-PQ query path.
+
+    `index` is the compressed (id, centroid_id, pq_code) table; `corpus`
+    the raw-vector table (touched only by the exact rerank of ≤
+    len(q_ids)·rerank ids); `q_ids`/`qmat` the query vectors (driver-side —
+    O(queries), tiny); `cents` the coarse-quantizer matrix; `subs` the PQ
+    codebook sub-matrices.
+
+    Plan shape: the (query, probed-centroid, integer-LUT) rows broadcast
+    against the code index — a centroid-id equi-join, never a cross join —
+    and the asymmetric distance is len(subs) element_at lookups summed in
+    JVM Column arithmetic (integer-exact: LUT entries are
+    floor(d2·lut_scale+0.5) BIGINTs, so ranking cannot drift on float
+    reduce order). The per-query top-`rerank` shortlist (tie-break
+    neighbor id) broadcasts back against the corpus for the exact cosine
+    rerank. At 10^12 rows only the 8-byte-payload index shuffles; raw
+    vectors stay in columnar storage until the rerank's pruned id probe.
+    """
+    n_sub = len(subs)
+    k = subs[0].shape[0]
+    spark = index.sparkSession
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    cmn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sims = qn @ cmn.T
+    # stable argsort on -sims: ties keep ascending centroid id
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    luts = pq_lut(qmat, subs, lut_scale)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, n_probe),
+                "centroid_id": probes.reshape(-1),
+                "qv": [qmat[i].tolist() for i in range(len(q_ids))
+                       for _ in range(n_probe)],
+                "lut": [luts[i].tolist() for i in range(len(q_ids))
+                        for _ in range(n_probe)],
+            }
+        ),
+        "query_id long, centroid_id long, qv array<double>, lut array<bigint>",
+    )
+    cand = (
+        F.broadcast(qdf)
+        .join(index, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    adc = None
+    for m in range(n_sub):
+        code = (
+            F.shiftrightunsigned(F.col("pq_code"), 4 * m)
+            .bitwiseAND(F.lit(15))
+            .cast("int")
+        )
+        term = F.element_at(F.col("lut"), code + F.lit(m * k + 1))
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id", "qv", F.col(id_col).alias("neighbor_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.select(
+            "query_id", "qv", "neighbor_id",
+            F.row_number().over(w).alias("adc_rank"),
+        )
+        .filter(F.col("adc_rank") <= rerank)
+    )
+    rer = F.broadcast(shortlist).join(
+        corpus, F.col(id_col) == F.col("neighbor_id")
+    )
+    exact = rer.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("qv"), F.col(vec_col)).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 7).desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.select(
+            "query_id",
+            F.row_number().over(w2).cast("bigint").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def pq_lut(queries: np.ndarray, subs: list[np.ndarray], scale: int) -> np.ndarray:
     """Per-query ADC lookup tables, INTEGER-quantized: entry (m, j) is the
     L2² distance from the query's m-th sub-slice to codeword j, times

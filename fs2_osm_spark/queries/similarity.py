@@ -815,13 +815,12 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUTs, ADC sums, shortlist, rerank — independently in SQL; recall vs
     exact brute force is pinned by tests/test_pq_ann.py."""
     import numpy as np
-    import pandas as pd
 
     from fs2_osm_spark.functions.text import h16_sql
     from fs2_osm_spark.operators.similarity import (
         ivf_assign,
+        pq_adc_search,
         pq_codes,
-        pq_lut,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -849,76 +848,15 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query side, driver-built (O(N_QUERIES) rows): probe lists + int LUTs
     q_rows = corpus.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
-    qmat = np.asarray([r.v for r in q_rows], np.float64)
-    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
-    cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-    sims = qn @ cmn.T
-    # stable argsort on -sims: ties keep ascending cid, matching the SQL
-    # (cos DESC, cid) probe order
-    probes = np.argsort(-sims, axis=1, kind="stable")[:, :PQ_PROBE]
-    luts = pq_lut(qmat, subs, PQ_LUT_SCALE)
-    qdf = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "query_id": np.repeat(
-                    [r.vec_id for r in q_rows], PQ_PROBE
-                ),
-                "centroid_id": probes.reshape(-1),
-                "qv": [r.v for r in q_rows for _ in range(PQ_PROBE)],
-                "lut": [luts[i].tolist() for i in range(len(q_rows))
-                        for _ in range(PQ_PROBE)],
-            }
-        ),
-        "query_id long, centroid_id long, qv array<double>, lut array<bigint>",
-    )
-
-    # ADC: broadcast probe rows -> centroid equi-join -> 8 integer lookups
-    cand = (
-        F.broadcast(qdf)
-        .join(index, "centroid_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-    )
-    adc = None
-    for m in range(PQ_M):
-        code = (
-            F.shiftrightunsigned(F.col("pq_code"), 4 * m)
-            .bitwiseAND(F.lit(15))
-            .cast("int")
-        )
-        term = F.element_at(F.col("lut"), code + F.lit(m * PQ_K + 1))
-        adc = term if adc is None else adc + term
-    scored = cand.select(
-        "query_id", "qv", F.col("vec_id").alias("neighbor_id"),
-        adc.alias("adc"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        scored.select(
-            "query_id", "qv", "neighbor_id",
-            F.row_number().over(w).alias("adc_rank"),
-        )
-        .filter(F.col("adc_rank") <= PQ_RERANK)
-    )
-
-    # exact rerank: the tiny shortlist broadcasts against the corpus
-    rer = F.broadcast(shortlist).join(
-        corpus, F.col("vec_id") == F.col("neighbor_id")
-    )
-    exact = rer.select(
-        "query_id", "neighbor_id",
-        _cosine(F.col("qv"), F.col("v")).alias("cos"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos"), 7).desc(), F.col("neighbor_id")
-    )
-    return (
-        exact.select(
-            "query_id",
-            F.row_number().over(w2).cast("bigint").alias("rank"),
-            "neighbor_id",
-            F.round("cos", 6).alias("cos_sim"),
-        )
-        .filter(F.col("rank") <= TOP_K)
+    return pq_adc_search(
+        index,
+        corpus,
+        q_ids=np.asarray([r.vec_id for r in q_rows], np.int64),
+        qmat=np.asarray([r.v for r in q_rows], np.float64),
+        cents=cm,
+        subs=subs,
+        n_probe=PQ_PROBE,
+        rerank=PQ_RERANK,
+        top_k=TOP_K,
+        lut_scale=PQ_LUT_SCALE,
     )
