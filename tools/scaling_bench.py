@@ -323,11 +323,19 @@ fast). Every bench JSON therefore carries a `host` block:
   ~0.4-0.6s at local[32]; same kernel as the scaling null test).
 
 A flagship number recorded with high steal / slow probe is a contended
-window, not a code regression. Reference healthy point (r05 final, quiet
-— steal 0.68%, probe 0.54s, sf0.1, join_rows 13,706,875): flagship warm
-6.75s (2.37M img/s), cell-join strategy 5.55s, arrow baseline 9.43s,
-dedup_minhash_fast 3.71s, geo_knn_kring 1.12s, pbf_lifecycle_512z 21.3s
-(post r05 lifecycle optimizations — see LIFECYCLE.md).
+window, not a code regression. Reference healthy points (quiet host,
+sf0.1, join_rows 13,706,875 in every row — this table lives in THIS
+template so BASELINE.md regeneration cannot drop it):
+
+| round | steal / probe | flagship warm | img/s | cell join | arrow | dedup | kNN | lifecycle |
+|---|---|---|---|---|---|---|---|---|
+| r05 | 0.68% / 0.54s | 6.75s | 2.37M | 5.55s | 9.43s | 3.71s | 1.12s | 21.3s |
+| r06 | 1.2% / 0.51s | 6.32s | 2.53M | 6.17s | 11.54s | 3.90s | 1.46s | 24.5s |
+| r07 | 0.13% / 0.51s | **5.80s** | **2.76M** | 5.43s | 11.17s | 3.82s | 1.32s | 21.9s |
+
+r07 also times the IVF-PQ layer at index scale: 1M-vector index build
+(assign + 4-bit encode) 3.75s, steady-state ADC search (32 queries,
+8 probes, rerank 100) 1.90s warm.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
