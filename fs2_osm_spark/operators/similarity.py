@@ -92,23 +92,45 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int, id_col: str = "vec_id",
     return [(i, np.asarray(r[vec_col], np.float64)) for i, r in enumerate(sampled)]
 
 
-def _assign_udf(centroid_matrix: np.ndarray):
-    cm = centroid_matrix / np.linalg.norm(centroid_matrix, axis=1, keepdims=True)
+def _assign_udf(centroid_matrix: np.ndarray, metric: str = "cos"):
+    """Nearest-centroid id per vector: argmax cosine (default) or argmin
+    expanded-L2 (`x·x − 2 x·c + c·c` — the PQ codebook metric). Ties
+    resolve to the lowest centroid id in both metrics (numpy arg* return
+    the first extremum)."""
+    if metric == "cos":
+        cm = centroid_matrix / np.linalg.norm(
+            centroid_matrix, axis=1, keepdims=True
+        )
 
-    def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            mat = np.stack([np.asarray(v, np.float64) for v in s])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-            sims = mat @ cm.T  # one matmul per Arrow batch
-            yield pd.Series(np.argmax(sims, axis=1).astype(np.int64))
+        def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in it:
+                mat = np.stack([np.asarray(v, np.float64) for v in s])
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+                )
+                sims = mat @ cm.T  # one matmul per Arrow batch
+                yield pd.Series(np.argmax(sims, axis=1).astype(np.int64))
 
+    elif metric == "l2":
+        cm = centroid_matrix
+        cc = np.einsum("ij,ij->i", cm, cm)
+
+        def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in it:
+                mat = np.stack([np.asarray(v, np.float64) for v in s])
+                xx = np.einsum("ij,ij->i", mat, mat)
+                d2 = xx[:, None] - 2.0 * (mat @ cm.T) + cc[None, :]
+                yield pd.Series(np.argmin(d2, axis=1).astype(np.int64))
+
+    else:
+        raise ValueError(f"unknown metric {metric!r} (cos|l2)")
     return F.pandas_udf(assign, T.LongType())
 
 
 def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, np.ndarray]],
-               vec_col: str = "v") -> DataFrame:
+               vec_col: str = "v", metric: str = "cos") -> DataFrame:
     cm = np.stack([c for _, c in centroids])
-    udf = _assign_udf(cm)
+    udf = _assign_udf(cm, metric)
     return corpus.withColumn("centroid_id", udf(F.col(vec_col)))
 
 
@@ -204,6 +226,104 @@ def pq_codes(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, schema)
+
+
+def pq_train(
+    corpus: DataFrame,
+    subs_init: list[np.ndarray],
+    n_iters: int = 2,
+    round_decimals: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[np.ndarray]:
+    """Lloyd-refine a PQ codebook per subspace (the k-means PQ codebooks a
+    production IVF-PQ index trains, replacing the fixed sample codebook).
+
+    Each subspace's codewords are fitted independently: slice the vector
+    column (pure Column ops), run the distributed Lloyd loop with the L2
+    metric (PQ encodes by argmin-L2, so training must optimize the same
+    objective), centroids quantized to `round_decimals` per round — the
+    same cross-engine fixed-point trick as sim_kmeans_fit_md5, which lets
+    a DuckDB twin re-derive the whole training trajectory bit-identically.
+    Per round this is one narrow Arrow-batch assign pass and one
+    (subspace-code, dim) shuffle aggregate; only the tiny k×d codebook
+    returns to the driver."""
+    d_sub = subs_init[0].shape[1]
+    trained: list[np.ndarray] = []
+    for m, s0 in enumerate(subs_init):
+        sub_corpus = corpus.select(
+            id_col,
+            F.transform(
+                F.slice(F.col(vec_col), m * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            ).alias("v"),
+        )
+        init = [
+            (j, np.round(s0[j].astype(np.float64), round_decimals))
+            for j in range(s0.shape[0])
+        ]
+        fitted = kmeans_fit(
+            sub_corpus, k=len(init), n_iters=n_iters, id_col=id_col,
+            vec_col="v", init=init, round_decimals=round_decimals,
+            metric="l2",
+        )
+        trained.append(np.stack([v for _, v in fitted]))
+    return trained
+
+
+def pq_encode_recon(
+    corpus: DataFrame,
+    subs: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, pq_code, recon_cos): PQ-encode against `subs` and measure the
+    reconstruction cosine — the quality metric of a codebook. Same kernel
+    shape as pq_codes (one matmul per subspace per Arrow batch) plus the
+    reconstruction gather."""
+    n_sub = len(subs)
+    k = subs[0].shape[0]
+    assert k <= 16 and n_sub <= 16, "4-bit packing needs K<=16 codewords"
+    d_sub = subs[0].shape[1]
+    cc = [np.einsum("ij,ij->i", s, s) for s in subs]
+    bc = corpus.sparkSession.sparkContext.broadcast((subs, cc))
+    schema = T.StructType(
+        [
+            next(f for f in corpus.schema.fields if f.name == id_col),
+            T.StructField("pq_code", T.LongType(), False),
+            T.StructField("recon_cos", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs_b, cc_b = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(x), n_sub), np.int64)
+            recon = np.empty_like(x)
+            for m in range(n_sub):
+                xm = x[:, m * d_sub : (m + 1) * d_sub]
+                xx = np.einsum("ij,ij->i", xm, xm)
+                d2 = xx[:, None] - 2.0 * (xm @ subs_b[m].T) + cc_b[m][None, :]
+                codes[:, m] = np.argmin(d2, axis=1)
+                recon[:, m * d_sub : (m + 1) * d_sub] = subs_b[m][codes[:, m]]
+            packed = (codes << (4 * np.arange(n_sub, dtype=np.int64))).sum(axis=1)
+            num = np.einsum("ij,ij->i", x, recon)
+            cos = num / (
+                np.sqrt(np.einsum("ij,ij->i", x, x))
+                * np.sqrt(np.einsum("ij,ij->i", recon, recon))
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pq_code": packed,
+                    "recon_cos": np.round(cos, 5),
+                }
+            )
+
+    return corpus.mapInPandas(fn, schema)
 
 
 def pq_adc_search(
@@ -339,6 +459,7 @@ def kmeans_fit(
     vec_col: str = "v",
     init: list[tuple[int, np.ndarray]] | None = None,
     round_decimals: int | None = None,
+    metric: str = "cos",
 ) -> list[tuple[int, np.ndarray]]:
     """Distributed Lloyd iterations over an embedding column.
 
@@ -358,7 +479,7 @@ def kmeans_fit(
     if not centroids:
         raise ValueError("kmeans_fit: corpus is empty — no vectors to seed centroids")
     for _ in range(n_iters):
-        assigned = ivf_assign(corpus, centroids, vec_col)
+        assigned = ivf_assign(corpus, centroids, vec_col, metric)
         stats = (
             assigned.select(
                 "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "x")

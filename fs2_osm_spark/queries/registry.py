@@ -58,6 +58,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 PRIORITY: list[str] = [
     # (a) added or behavior-changed in round 7
     "sim_pq_ann",
+    "sim_pq_trained",
     "dedup_minhash_fast",
     "dedup_simhash_fast",
     "dedup_simhash_multiprobe",

@@ -860,3 +860,128 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=TOP_K,
         lut_scale=PQ_LUT_SCALE,
     )
+
+
+PQ_TRAIN_ITERS = 2
+PQ_TRAIN_ROUND = 9
+
+
+def _pq_trained_oracle() -> str:
+    """The per-subspace Lloyd codebook TRAINING unrolled in DuckDB — one
+    chained-CTE fit over the exploded (vec, subspace) sub-slices keyed by
+    (m, code), L2 assignment with lowest-code ties, per-dim means via the
+    positional unnest zip, centroids quantized to PQ_TRAIN_ROUND decimals
+    each round (the shared fixed point), empty codes keeping the previous
+    codeword — then the final encode/pack/reconstruction from the trained
+    codebook, exactly the sim_pq_encode output shape."""
+    sub = f"v[m.m * {PQ_D} + 1 : m.m * {PQ_D} + {PQ_D}]"
+
+    def d2(x: str, c: str) -> str:
+        return (
+            f"list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {c})"
+            f" + list_dot_product({c}, {c})"
+        )
+
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    sub AS MATERIALIZED (SELECT vec_id, m.m, {sub} AS x FROM e, ms m),
+    c0 AS (
+        SELECT m.m, e.vec_id AS code,
+               list_transform({sub}, x -> round(x, {PQ_TRAIN_ROUND})) AS cw
+        FROM e, ms m WHERE e.vec_id < {PQ_K}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, PQ_TRAIN_ITERS + 1):
+        parts.append(
+            f""",
+    a{it} AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {d2('s.x', 'c.cw')},
+                                               c.code) AS rn
+            FROM sub s JOIN {prev} c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT m, code, dim,
+               round(sum(xv) / count(*), {PQ_TRAIN_ROUND}) AS val
+        FROM (
+            SELECT a.m, a.code,
+                   unnest(range(1, len(s.x) + 1)) AS dim,
+                   unnest(s.x) AS xv
+            FROM a{it} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+        ) GROUP BY m, code, dim
+    ),
+    c{it} AS MATERIALIZED (
+        SELECT p.m, p.code, coalesce(n.cw, p.cw) AS cw
+        FROM {prev} p LEFT JOIN (
+            SELECT m, code, list(val ORDER BY dim) AS cw
+            FROM m{it} GROUP BY m, code
+        ) n ON n.m = p.m AND n.code = p.code
+    )"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f""",
+    best AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {d2('s.x', 'c.cw')},
+                                               c.code) AS rn
+            FROM sub s JOIN {prev} c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    recon AS (
+        SELECT b.vec_id,
+               CAST(sum(b.code * (CAST(1 AS BIGINT) << (4 * b.m))) AS BIGINT)
+                   AS pq_code,
+               flatten(list(c.cw ORDER BY b.m)) AS rv
+        FROM best b JOIN {prev} c ON c.m = b.m AND c.code = b.code
+        GROUP BY b.vec_id
+    )
+    SELECT r.vec_id, r.pq_code,
+           CAST(round(list_dot_product(e.v, r.rv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(r.rv, r.rv))), 5) AS DOUBLE)
+               AS recon_cos
+    FROM recon r JOIN e ON e.vec_id = r.vec_id
+    """
+    )
+    return "".join(parts)
+
+
+@register("sim_pq_trained", oracle=_pq_trained_oracle())
+def sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED PQ codebooks (r07): per-subspace Lloyd refinement of the
+    fixed sample codebook — the k-means codebooks a production IVF-PQ
+    index actually trains. Each of the 8 subspaces fits its 16 codewords
+    independently via the distributed L2 Lloyd loop (operators/
+    similarity.pq_train: slice is pure Column work, assignment one numpy
+    matmul per Arrow batch, update one (code, dim) shuffle aggregate),
+    with codewords quantized to 1e-9 per round on BOTH engines so the
+    training trajectory is a shared fixed point; the DuckDB twin unrolls
+    the entire fit as chained CTEs keyed by (subspace, code) and
+    re-derives init, every assignment, every mean, the final codes,
+    packing and reconstruction cosine independently. Codebook quality
+    improvement over the fixed sample codebook is pinned by
+    tests/test_pq_ann.py."""
+    import numpy as np
+
+    from fs2_osm_spark.operators.similarity import pq_encode_recon, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    cb_rows = corpus.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    cmat = np.asarray([r.v for r in cb_rows], np.float64)
+    subs0 = [cmat[:, m * PQ_D : (m + 1) * PQ_D] for m in range(PQ_M)]
+    trained = pq_train(
+        corpus, subs0, n_iters=PQ_TRAIN_ITERS, round_decimals=PQ_TRAIN_ROUND
+    )
+    return pq_encode_recon(corpus, trained)

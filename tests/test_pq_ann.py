@@ -127,6 +127,37 @@ def test_pq_ann_plan_has_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pq_train_improves_reconstruction(spark):
+    """Lloyd-refined codebooks must beat the fixed sample codebook on the
+    objective they optimize — mean reconstruction quality. Measured r07 at
+    sf0.001: fixed 0.572 vs trained 0.652 mean recon_cos."""
+    from pyspark.sql import functions as F
+
+    from fs2_osm_spark.operators.similarity import pq_encode_recon, pq_train
+
+    corpus = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").alias("v"))
+    )
+    cmat = np.asarray(
+        [r.v for r in corpus.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()],
+        np.float64,
+    )
+    subs0 = [cmat[:, m * 8 : (m + 1) * 8] for m in range(8)]
+    trained = pq_train(corpus, subs0, n_iters=2, round_decimals=9)
+    # deterministic: a second fit lands on the identical codebook
+    again = pq_train(corpus, subs0, n_iters=2, round_decimals=9)
+    for a, b in zip(trained, again):
+        assert (a == b).all()
+    fixed_mean = (
+        pq_encode_recon(corpus, subs0).agg(F.avg("recon_cos")).collect()[0][0]
+    )
+    trained_mean = (
+        pq_encode_recon(corpus, trained).agg(F.avg("recon_cos")).collect()[0][0]
+    )
+    assert trained_mean > fixed_mean + 0.03, (fixed_mean, trained_mean)
+
+
 @pytest.mark.parametrize("scale", [1_000_000])
 def test_pq_lut_integer_quantization(scale):
     from fs2_osm_spark.operators.similarity import pq_lut
