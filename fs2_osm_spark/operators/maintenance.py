@@ -72,7 +72,11 @@ def collect_table_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     would make downstream comparisons depend on value magnitude. The
     decimal detour prints plain fixed-point digits identically everywhere
     (a binary double can never sit exactly on a half at the 9th decimal,
-    so round-half direction differences cannot bite)."""
+    so round-half direction differences cannot bite). Values the decimal
+    cannot hold — |x| >= 1e18 or non-finite — fall back to the raw string
+    cast instead of Spark's silent cast-overflow NULL (the canonical form
+    is only cross-engine-stable inside the decimal range; out-of-range
+    stats still beat absent ones)."""
     ftypes = {
         f.name: f.dataType.simpleString() for f in df.schema.fields
     }
@@ -80,7 +84,13 @@ def collect_table_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     def canon(col: str, agg) -> F.Column:
         c = agg(col)
         if ftypes.get(col) in ("float", "double"):
-            c = c.cast("decimal(38,9)")
+            in_range = (
+                ~F.isnan(c) & (F.abs(c) < F.lit(1e18))
+            )
+            c = F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+                F.when(in_range, c.cast("decimal(38,9)").cast("string"))
+                .otherwise(c.cast("string"))
+            )
         return c.cast("string")
 
     aggs = []

@@ -362,7 +362,9 @@ def pq_adc_search(
     k = subs[0].shape[0]
     spark = index.sparkSession
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
-    cmn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cmn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+    )
     sims = qn @ cmn.T
     # stable argsort on -sims: ties keep ascending centroid id
     probes = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]

@@ -618,62 +618,24 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors' sub-slices — deterministic, no fit), 4-bit codes packed into
     one BIGINT (32x compression: 256-byte float32 vector -> one
     8-byte packed long), plus the reconstruction
-    cosine measuring quantization quality. The kernel is one numpy matmul
-    per subspace per Arrow batch against the broadcast codebook; the
-    oracle re-derives codes, packing, and reconstruction independently in
-    SQL with the same expanded L2 form."""
+    cosine measuring quantization quality. The kernel (one numpy matmul
+    per subspace per Arrow batch against the broadcast codebook) is
+    operators/similarity.pq_encode_recon — shared with sim_pq_trained so
+    the encode semantics cannot desynchronize; the oracle re-derives
+    codes, packing, and reconstruction independently in SQL with the same
+    expanded L2 form."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+
+    from fs2_osm_spark.operators.similarity import pq_encode_recon
 
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", F.col("embedding").alias("v"))
     cb_rows = (
         corpus.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
     )
-    C = np.asarray([r.v for r in cb_rows], np.float64)  # (K, 64)
-    subs = [C[:, m * PQ_D : (m + 1) * PQ_D] for m in range(PQ_M)]
-    cc = [np.einsum("ij,ij->i", s, s) for s in subs]
-    bc = spark.sparkContext.broadcast((subs, cc))
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("pq_code", T.LongType(), False),
-            T.StructField("recon_cos", T.DoubleType(), False),
-        ]
-    )
-
-    def fn(it):
-        subs_b, cc_b = bc.value
-        for pdf in it:
-            X = np.stack(
-                [np.asarray(v, np.float64) for v in pdf["v"]]
-            )  # (n, 64)
-            codes = np.empty((len(X), PQ_M), np.int64)
-            recon = np.empty_like(X)
-            for m in range(PQ_M):
-                Xm = X[:, m * PQ_D : (m + 1) * PQ_D]
-                xx = np.einsum("ij,ij->i", Xm, Xm)
-                xc = Xm @ subs_b[m].T
-                d2 = xx[:, None] - 2.0 * xc + cc_b[m][None, :]
-                codes[:, m] = np.argmin(d2, axis=1)  # first min = lowest code
-                recon[:, m * PQ_D : (m + 1) * PQ_D] = subs_b[m][codes[:, m]]
-            packed = (codes << (4 * np.arange(PQ_M, dtype=np.int64))).sum(axis=1)
-            num = np.einsum("ij,ij->i", X, recon)
-            cos = num / (
-                np.sqrt(np.einsum("ij,ij->i", X, X))
-                * np.sqrt(np.einsum("ij,ij->i", recon, recon))
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "pq_code": packed,
-                    "recon_cos": np.round(cos, 5),
-                }
-            )
-
-    return corpus.mapInPandas(fn, schema)
+    cmat = np.asarray([r.v for r in cb_rows], np.float64)  # (K, 64)
+    subs = [cmat[:, m * PQ_D : (m + 1) * PQ_D] for m in range(PQ_M)]
+    return pq_encode_recon(corpus, subs)
 
 
 PQ_PROBE = 6             # IVF lists probed by ADC search (ADC scoring is

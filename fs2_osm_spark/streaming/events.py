@@ -266,6 +266,11 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# last durable CDC snapshot written by THIS process (superseded snapshots
+# are deleted on the next run; unique dir names keep processes independent)
+_CDC_STATE: dict[str, str | None] = {"path": None}
+
+
 def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC merge via foreachBatch: the event stream is a change
     feed over a per-user state table — every event upserts the user's
@@ -343,10 +348,13 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # durable snapshot swap: write the cleaned final state THROUGH the
     # table-format boundary (one distributed job — tombstones dropped, meta
     # columns pruned), then drop the per-batch working tree and return a
-    # plain read of the durable table. A fixed path (not mkdtemp) keeps
-    # repeated runs from accumulating state trees: each run's overwrite
-    # replaces the previous snapshot.
-    state_table = os.path.join(tempfile.gettempdir(), "fs2_osm_cdc_state")
+    # plain read of the durable table. The snapshot dir is UNIQUE per run
+    # (mkdtemp): a fixed shared path would let concurrent processes —
+    # bench + driver, parallel pytest sessions, other users on the host —
+    # clobber each other's overwrite while a returned lazy reader is still
+    # evaluating. Bounded disk: each run deletes the PREVIOUS run's
+    # snapshot in this process (at most one superseded tree ever exists).
+    state_table = tempfile.mkdtemp(prefix="fs2_osm_cdc_state_")
     write_table(
         final.filter(F.col("op") != "delete").select(
             "user_id", "value", "event_type"
@@ -354,4 +362,8 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_table,
     )
     shutil.rmtree(root, ignore_errors=True)
+    prev_state = _CDC_STATE.get("path")
+    if prev_state is not None:
+        shutil.rmtree(prev_state, ignore_errors=True)
+    _CDC_STATE["path"] = state_table
     return read_table(spark, state_table)

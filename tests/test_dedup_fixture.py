@@ -28,8 +28,9 @@ def test_fixture_matches_live_ground_truth(spark):
         got = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
         want = want.sort_values(list(want.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(
-            got.astype(np.int64), want.astype(np.int64), check_names=True
-        ), name
+            got.astype(np.int64), want.astype(np.int64), check_names=True,
+            obj=name,
+        )
 
 
 def test_exact_dup_mutants_are_found_everywhere():

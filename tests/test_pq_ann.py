@@ -124,7 +124,8 @@ def test_pq_ann_plan_has_no_cartesian(spark):
 
     plan = QUERIES["sim_pq_ann"].fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_pq_train_improves_reconstruction(spark):

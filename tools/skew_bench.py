@@ -52,10 +52,17 @@ def skewed_points(spark, hot_lon: float, hot_lat: float, hot_frac: float):
 
 
 def interior_center(spark, poly_path: str) -> tuple[float, float]:
-    """A point safely inside some polygon: the vertex-mean of the first
-    polygon's outer ring (synthetic zone rectangles are convex, so the mean
-    is interior)."""
+    """A point safely inside some polygon AND safely inside one res-8 cell:
+    start from the vertex-mean of the first polygon's outer ring (synthetic
+    zone rectangles are convex, so the mean is interior), then nudge in
+    small steps until the whole ±0.0008° jitter box maps to a single hex
+    cell — without the snap, a center within 0.0008° of a cell boundary
+    splits the hot mass over 2-4 cells and dilutes the single-partition
+    skew this harness exists to measure."""
     import numpy as np
+
+    from fs2_osm_spark.functions.hex import hex_cell_np
+    from fs2_osm_spark.plans.flagship import JOIN_RES
 
     row = (
         spark.read.parquet(poly_path)
@@ -64,7 +71,17 @@ def interior_center(spark, poly_path: str) -> tuple[float, float]:
         .first()
     )
     ring = np.asarray(row.outer, np.float64).reshape(-1, 2)
-    return float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    cx, cy = float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    j = 0.0008
+    for k in range(16):
+        lon = cx + (k % 4) * 0.0011
+        lat = cy + (k // 4) * 0.0011
+        corners_lon = np.array([lon - j, lon + j, lon - j, lon + j, lon])
+        corners_lat = np.array([lat - j, lat - j, lat + j, lat + j, lat])
+        cells = hex_cell_np(corners_lon, corners_lat, JOIN_RES)
+        if len(set(cells.tolist())) == 1:
+            return lon, lat
+    return cx, cy  # fall back; harness still records whatever skew results
 
 
 def main() -> None:
