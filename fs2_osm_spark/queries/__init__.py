@@ -17,5 +17,6 @@ from fs2_osm_spark.queries import scale_q  # noqa: E402,F401
 from fs2_osm_spark.queries import relational2  # noqa: E402,F401
 from fs2_osm_spark.queries import geom_q  # noqa: E402,F401
 from fs2_osm_spark.queries import temporal  # noqa: E402,F401
+from fs2_osm_spark.queries import lakehouse  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries_map", "oracle_sql_map"]

@@ -59,6 +59,8 @@ PRIORITY: list[str] = [
     # (a) added or behavior-changed in round 7
     "sim_pq_ann",
     "sim_pq_trained",
+    "table_schema_evolution",
+    "mv_incremental_refresh",
     "dedup_minhash_fast",
     "dedup_simhash_fast",
     "dedup_simhash_multiprobe",
