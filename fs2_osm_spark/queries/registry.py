@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "sim_pq_trained",
     "table_schema_evolution",
     "mv_incremental_refresh",
+    "text_stratified_sample",
     "dedup_minhash_fast",
     "dedup_simhash_fast",
     "dedup_simhash_multiprobe",

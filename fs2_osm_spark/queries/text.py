@@ -494,3 +494,70 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.when(F.col("hit") == 1, F.col("g"))) > 0
         ).alias("contaminated"),
     )
+
+
+STRAT_KEEP = 50
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH classed AS (
+        SELECT doc_id,
+               CASE WHEN c1 >= c2 AND c1 >= c3 THEN '{_l1}'
+                    WHEN c2 >= c3 THEN '{_l2}'
+                    ELSE '{_l3}' END AS pred_lang,
+               {h16_sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM (
+            SELECT doc_id,
+                   {_lang_counts_duck[_l1]} AS c1,
+                   {_lang_counts_duck[_l2]} AS c2,
+                   {_lang_counts_duck[_l3]} AS c3
+            FROM documents
+        )
+    )
+    SELECT doc_id, pred_lang, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id, pred_lang,
+               row_number() OVER (PARTITION BY pred_lang
+                                  ORDER BY h, doc_id) AS rank
+        FROM classed
+    ) WHERE rank <= {STRAT_KEEP}
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (r07): keep the STRAT_KEEP docs with the
+    smallest md5 hash per language class — a deterministic per-class
+    reservoir (hash order is a uniform random permutation that every
+    engine, executor count, and rerun agrees on; no RNG state). The
+    balancing step of a training-data mixture: majority classes shrink to
+    the cap, minority classes pass through whole.
+
+    Scale shape: one shuffle on the class key + per-class rank. With few
+    huge classes the rank itself is the hot-key case — at 10^12 rows the
+    two-phase variant applies (broadcast an approximate per-class hash
+    threshold from a sample, filter, exact-rank only the ~cap survivors);
+    the hash-order semantics below are identical, which is what the
+    oracle pins."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    c1 = F.expr(marker_count_sql(LANG_MARKERS[_l1]))
+    c2 = F.expr(marker_count_sql(LANG_MARKERS[_l2]))
+    c3 = F.expr(marker_count_sql(LANG_MARKERS[_l3]))
+    base = docs.select("doc_id", c1.alias("c1"), c2.alias("c2"), c3.alias("c3"))
+    pred = (
+        F.when((F.col("c1") >= F.col("c2")) & (F.col("c1") >= F.col("c3")), _l1)
+        .when(F.col("c2") >= F.col("c3"), _l2)
+        .otherwise(_l3)
+    )
+    h = F.expr(h16_sql("CAST(doc_id AS STRING)"))
+    classed = base.select("doc_id", pred.alias("pred_lang"), h.alias("h"))
+    w = Window.partitionBy("pred_lang").orderBy("h", "doc_id")
+    return (
+        classed.select(
+            "doc_id", "pred_lang",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= STRAT_KEEP)
+    )
