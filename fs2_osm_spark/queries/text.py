@@ -534,11 +534,13 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap, minority classes pass through whole.
 
     Scale shape: one shuffle on the class key + per-class rank. With few
-    huge classes the rank itself is the hot-key case — at 10^12 rows the
-    two-phase variant applies (broadcast an approximate per-class hash
-    threshold from a sample, filter, exact-rank only the ~cap survivors);
-    the hash-order semantics below are identical, which is what the
-    oracle pins."""
+    huge classes the rank itself is the hot-key case — at 10^12 rows use
+    operators/sampling.stratified_topk_by_hash, the EXACT two-phase
+    decomposition (rank within (class, partition) first — the shuffle key
+    includes the partition id, so no hot reducer — then exact-rank the
+    bounded survivor set); tests/test_sampling.py pins that it returns
+    these exact rows under several partitionings. The oracle pins the
+    hash-order semantics both share."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
