@@ -212,18 +212,38 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_ann", oracle=None)
+def _ivf_fixture_oracle() -> str:
+    from fs2_osm_spark.synth.staging import sim_fixture_path
+
+    return f"""
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           CAST(cos_sim AS DOUBLE) AS cos_sim
+    FROM read_parquet('{sim_fixture_path("ivf_ann")}')
+    """
+
+
+@register("sim_ivf_ann", oracle=_ivf_fixture_oracle())
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (strided coarse quantizer + n_probe search). Rows-only —
-    recall vs brute force is pinned by tests/test_scale_operators.py."""
+    """Engine-native xxhash64 IVF ANN (strided coarse quantizer + n_probe
+    inverted-list search + exact rerank), hard-oracled (r07) on the fixed
+    synth/vectors.py corpus: the committed fixture records, by driver-side
+    BRUTE FORCE (per-pair python-loop cosines — no matmul assign kernel,
+    no probe UDF, no broadcast join), the full search result; Spark
+    contributed only the two xxhash64 columns, which ARE the sampler's
+    definition (anti-drift pytest: tests/test_sim_fixture.py). The
+    sf-scaled tables stay covered by the portable md5 twin
+    (sim_ivf_ann_md5, full DuckDB re-derivation). Recall vs brute force is
+    additionally pinned by tests/test_scale_operators.py."""
     from fs2_osm_spark.operators.similarity import (
         ivf_assign,
         ivf_centroids,
         ivf_search,
     )
+    from fs2_osm_spark.synth.staging import ensure_sim_fixture
+    from fs2_osm_spark.synth.vectors import sim_corpus
 
-    emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    ensure_sim_fixture(spark)
+    corpus = sim_corpus(spark)
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -544,19 +564,37 @@ def sim_kmeans_fit_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(corpus, model)
 
 
-@register("sim_kmeans_clusters", oracle=None)
-def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means over the embeddings table (rows-only —
-    iterative, no SQL twin; convergence + structure pinned by
-    tests/test_scale_operators.py). Returns one row per vector with its
-    cluster and similarity to the fitted centroid."""
-    from fs2_osm_spark.operators.similarity import kmeans_assignments, kmeans_fit
+def _kmeans_fixture_oracle() -> str:
+    from fs2_osm_spark.synth.staging import sim_fixture_path
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
-    )
-    model = kmeans_fit(emb, k=8, n_iters=3)
-    return kmeans_assignments(emb, model)
+    return f"""
+    SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(cos_to_centroid AS DOUBLE) AS cos_to_centroid
+    FROM read_parquet('{sim_fixture_path("kmeans_clusters")}')
+    """
+
+
+@register("sim_kmeans_clusters", oracle=_kmeans_fixture_oracle())
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means with the engine-native xxhash64-strided
+    init, hard-oracled (r07) on the fixed synth/vectors.py corpus: the
+    committed fixture records, by driver-side BRUTE FORCE (python-loop
+    cosines, sequential mean updates — none of the matmul assign kernel or
+    the (centroid, dim) shuffle aggregate), the full 3-round fit plus the
+    final assignments; `round_decimals=9` pins each round to the shared
+    fixed point so reduce-order float drift cannot compound (anti-drift
+    pytest: tests/test_sim_fixture.py). The sf-scaled tables stay covered
+    by the portable md5 twin (sim_kmeans_fit_md5, full unrolled DuckDB
+    re-derivation). Returns one row per vector with its cluster and
+    similarity to the fitted centroid."""
+    from fs2_osm_spark.operators.similarity import kmeans_assignments, kmeans_fit
+    from fs2_osm_spark.synth.staging import ensure_sim_fixture
+    from fs2_osm_spark.synth.vectors import sim_corpus
+
+    ensure_sim_fixture(spark)
+    corpus = sim_corpus(spark)
+    model = kmeans_fit(corpus, k=8, n_iters=3, round_decimals=9)
+    return kmeans_assignments(corpus, model)
 
 
 PQ_M = 8       # subspaces

@@ -461,3 +461,128 @@ def ensure_audio_fixture() -> str:
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
         os.replace(tmp, AUDIO_FIXTURE)
     return AUDIO_FIXTURE
+
+
+SIM_FIXTURE_DIR = os.path.join(_REPO_ROOT, "fixtures", "sim_oracle")
+
+
+def sim_fixture_path(name: str) -> str:
+    return os.path.join(SIM_FIXTURE_DIR, f"{name}.parquet")
+
+
+def sim_ground_truth(spark) -> dict[str, "pd.DataFrame"]:
+    """BRUTE-FORCE ground truth for the engine-native xxhash64 IVF search
+    and Lloyd k-means over the fixed synth/vectors.py corpus. Spark
+    supplies only the two HASH columns (`xxhash64(vec_id)` for the stride
+    filter, `xxhash64(1, vec_id)` for the sample order — those hashes ARE
+    the operators' definition, the dedup-fixture stance); everything
+    downstream is recomputed driver-side with plain per-pair numpy dots
+    and python loops — none of the matmul assign kernel, the probe UDF,
+    the broadcast joins, or the distributed mean-update under test.
+
+    - ivf_ann: strided centroid sample -> argmax-cosine inverted lists ->
+      top-n_probe list probe per query -> exact rerank with the
+      (round(cos,7) DESC, neighbor_id) tie-break.
+    - kmeans_clusters: same strided init (k=8), three Lloyd rounds with
+      the per-round round(mean, 9) fixed-point pin kmeans_fit applies
+      (empty cluster keeps the previous centroid), then per-vector
+      assignment + cosine to the fitted centroid.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fs2_osm_spark.synth.vectors import sim_corpus_pdf
+
+    IVF_K, IVF_MOD, IVF_PROBE, TOP_K, N_Q = 16, 17, 4, 5, 20
+    KM_K, KM_ITERS, KM_ROUND = 8, 3, 9
+
+    pdf = sim_corpus_pdf()
+    vecs = {int(r.vec_id): np.asarray(r.v, np.float64) for r in pdf.itertuples()}
+    ids = sorted(vecs)
+
+    hashes = (
+        spark.createDataFrame(pd.DataFrame({"vec_id": ids}), "vec_id long")
+        .select(
+            "vec_id",
+            F.xxhash64(F.col("vec_id")).alias("hm"),
+            F.xxhash64(F.lit(1), F.col("vec_id")).alias("h1"),
+        )
+        .toPandas()
+    )
+    hm = dict(zip(hashes.vec_id.astype(int), hashes.hm.astype(int)))
+    h1 = dict(zip(hashes.vec_id.astype(int), hashes.h1.astype(int)))
+
+    def cos(a: np.ndarray, b: np.ndarray) -> float:
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def strided_sample(k: int) -> list[np.ndarray]:
+        # mirror ivf_centroids: pmod(xxhash64(id), mod) == 0 thinning,
+        # then (xxhash64(1, id), id) order, top k; fallback = whole corpus
+        thin = [i for i in ids if hm[i] % IVF_MOD == 0]
+        pool = thin if len(thin) >= k else ids
+        chosen = sorted(pool, key=lambda i: (h1[i], i))[:k]
+        return [vecs[i] for i in chosen]
+
+    def assign(cents: list[np.ndarray]) -> dict[int, int]:
+        out = {}
+        for i in ids:
+            sims = [cos(vecs[i], c) for c in cents]
+            best = max(range(len(cents)), key=lambda j: (sims[j], -j))
+            out[i] = best
+        return out
+
+    out: dict[str, pd.DataFrame] = {}
+
+    # ------------------------------------------------------------- IVF ---
+    cents = strided_sample(IVF_K)
+    lists = assign(cents)
+    rows = []
+    for q in [i for i in ids if i < N_Q]:
+        probe = sorted(
+            range(len(cents)), key=lambda j: (-cos(vecs[q], cents[j]), j)
+        )[:IVF_PROBE]
+        cand = [i for i in ids if lists[i] in probe and i != q]
+        scored = [(i, cos(vecs[q], vecs[i])) for i in cand]
+        scored.sort(key=lambda t: (-round(t[1], 7), t[0]))
+        for rank, (nid, c) in enumerate(scored[:TOP_K], start=1):
+            rows.append((q, rank, nid, round(c, 6)))
+    out["ivf_ann"] = pd.DataFrame(
+        rows, columns=["query_id", "rank", "neighbor_id", "cos_sim"]
+    )
+
+    # ---------------------------------------------------------- k-means ---
+    cents = strided_sample(KM_K)  # kmeans_fit does NOT round the init
+    for _ in range(KM_ITERS):
+        a = assign(cents)
+        new = []
+        for c, prev in enumerate(cents):
+            members = [i for i in ids if a[i] == c]
+            if members:
+                mean = np.sum([vecs[i] for i in members], axis=0) / len(members)
+            else:
+                mean = prev
+            new.append(np.round(mean, KM_ROUND))
+        cents = new
+    a = assign(cents)
+    out["kmeans_clusters"] = pd.DataFrame(
+        [(i, a[i], round(cos(vecs[i], cents[a[i]]), 6)) for i in ids],
+        columns=["vec_id", "centroid_id", "cos_to_centroid"],
+    )
+    return out
+
+
+def ensure_sim_fixture(spark) -> str:
+    """Record the brute-force ANN/k-means ground truth (committed parquet;
+    the anti-drift test recomputes it live in tests/test_sim_fixture.py)."""
+    if not all(
+        os.path.exists(sim_fixture_path(n)) for n in ("ivf_ann", "kmeans_clusters")
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(SIM_FIXTURE_DIR, exist_ok=True)
+        for name, pdf in sim_ground_truth(spark).items():
+            tmp = sim_fixture_path(name) + ".tmp"
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+            os.replace(tmp, sim_fixture_path(name))
+    return SIM_FIXTURE_DIR
