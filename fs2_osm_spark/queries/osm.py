@@ -1001,3 +1001,109 @@ def osm_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("lon")).alias("qlon"),
         quantize(F.col("lat")).alias("qlat"),
     )
+
+
+def _pagerank_oracle() -> str:
+    """The whole fixed-point PageRank unrolled in DuckDB (the
+    sim_kmeans_fit_md5 chained-CTE pattern): edges re-derived from the
+    staged fixture's exploded ways_nodes by the idx+1 self-join, then
+    PR_ITERS damped update rounds in pure BIGINT arithmetic — `//` here
+    and DIV in Spark are both floor on the positive operands, so the twin
+    is bit-exact with no float anywhere. MATERIALIZED pins the
+    multiply-referenced CTEs (DuckDB inlines by default — the optimizer
+    blowup gotcha from the hilbert twin)."""
+    from fs2_osm_spark.operators.graph import PR_DAMPING_PCT, PR_SCALE
+    from fs2_osm_spark.synth.staging import osm_fixture_path
+
+    wn = osm_fixture_path("ways_nodes")
+    d = PR_DAMPING_PCT
+    base_num = (100 - d) * PR_SCALE
+    parts = [
+        f"""
+    WITH wn AS (SELECT way_id, idx, node_id FROM read_parquet('{wn}')),
+    pairs AS (
+        SELECT a.node_id AS u, b.node_id AS v
+        FROM wn a JOIN wn b ON a.way_id = b.way_id AND b.idx = a.idx + 1
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM pairs
+            UNION ALL SELECT v AS u, u AS v FROM pairs
+        )
+    ),
+    deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT node_id FROM (
+            SELECT u AS node_id FROM edges UNION ALL SELECT v FROM edges
+        )
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    p0 AS (
+        SELECT node_id, CAST({PR_SCALE} AS BIGINT) // n AS pr
+        FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    prev = "p0"
+    for it in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+    p{it} AS MATERIALIZED (
+        SELECT n0.node_id,
+               CAST({base_num} AS BIGINT) // (100 * nn.n)
+               + ({d} * COALESCE(s.agg, CAST(0 AS BIGINT))) // 100 AS pr
+        FROM nodes n0 CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.v AS node_id, sum(p.pr // d.deg) AS agg
+            FROM edges e
+            JOIN {prev} p ON p.node_id = e.u
+            JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+        ) s ON s.node_id = n0.node_id
+    )"""
+        )
+        prev = f"p{it}"
+    parts.append(f"\n    SELECT node_id, pr AS pr_pico FROM {prev}")
+    return "".join(parts)
+
+
+PR_ITERS = 3
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-network PageRank (junction centrality) over the synthesized
+    OSM way graph — the iterative graph-centrality operator of a
+    training-data quality pipeline, hard-oracled end-to-end: consecutive
+    way nodes become symmetric edges, then PR_ITERS damped rounds in
+    BIGINT pico-rank fixed point (operators/graph.py — every step integer
+    arithmetic, so the unrolled DuckDB twin matches bit-for-bit; fixture
+    == live synth is pinned by the staging anti-drift test). Edges come
+    straight off the ways' node arrays (adjacent-pair transform — no
+    self-join); the oracle re-derives them independently from the
+    exploded fixture rows via the idx+1 self-join."""
+    from fs2_osm_spark.operators.graph import pagerank_fixed_point
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture
+
+    ensure_osm_fixture(spark)
+    ways = osm_tables(spark, N_ZONES)["ways"]
+    ns = F.col("nodes")
+    pairs = (
+        ways.filter(F.size(ns) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ns) - 2),
+                    lambda i: F.struct(
+                        F.element_at(ns, i + 1).alias("u"),
+                        F.element_at(ns, i + 2).alias("v"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    pr = pagerank_fixed_point(edges, n_iters=PR_ITERS)
+    return pr.select("node_id", F.col("pr").alias("pr_pico"))

@@ -563,3 +563,156 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= STRAT_KEEP)
     )
+
+
+SUBSTR_N = 8  # tokens per span for exact substring-level dedup
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(ws[i : i + {SUBSTR_N} - 1], ' ') AS g
+        FROM toks, unnest(range(1, len(ws) - {SUBSTR_N} + 2)) AS t(i)
+        WHERE len(ws) >= {SUBSTR_N}
+    ),
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(d.g) AS BIGINT) AS n_dup_positions,
+           CAST(round(count(d.g) * 1.0 / count(*), 6) AS DOUBLE) AS dup_frac
+    FROM grams gr LEFT JOIN dup d ON gr.g = d.g
+    GROUP BY gr.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' shape, at span granularity rather than whole-document):
+    every {SUBSTR_N}-token span is a candidate; a span occurring in >= 2
+    DISTINCT documents is duplicated text, and each document reports how
+    much of it is covered by such spans. Scale shape: explode to one row
+    per span position, ONE shuffle on the span key to find cross-document
+    spans (count distinct doc partial-aggregates map-side), equi-join the
+    duplicated-span set back — never an all-pairs document comparison. At
+    100 TB the span string would be replaced by its 128-bit hash as the
+    join key (constant-width shuffle rows); the string key keeps the
+    oracle portable here and the plan identical."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = F.size("ws")
+    toks = toks.filter(n >= SUBSTR_N)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - SUBSTR_N),
+                lambda i: F.concat_ws(" ", F.slice("ws", i + 1, SUBSTR_N)),
+            )
+        ).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    joined = grams.join(dup, "g", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("is_dup").alias("n_dup_positions"),
+        F.round(F.count("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+    )
+
+
+LM_SCALE = 1_000_000  # integer-micro log-probs: exact BIGINT sums both engines
+
+
+@register(
+    "text_lm_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    uni AS (SELECT w, count(*) AS cu FROM words GROUP BY w),
+    voc AS (SELECT count(*) AS v FROM uni),
+    bi_pos AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, unnest(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM bi_pos GROUP BY w1, w2),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(floor(ln((b.cb + 1.0) / (u.cu + v.v)) * {LM_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM bi_pos p
+        JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        JOIN uni u ON u.w = p.w1
+        CROSS JOIN voc v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q) AS BIGINT) AS lm_score_micro,
+           CAST(round(sum(q) / (count(*) * 1e6), 6) AS DOUBLE) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality scoring (the KenLM-style perplexity
+    filter of CCNet/Gopher pipelines, self-trained): an add-one-smoothed
+    word-bigram model is fit on the corpus itself and every document is
+    scored by its mean log-probability — low scores flag boilerplate and
+    gibberish for the quality gate. Cross-engine exactness: each bigram's
+    log-prob is quantized to an INTEGER micro-log (floor(ln(p)*1e6 + 0.5),
+    the sim_pq_ann LUT trick), so per-document sums are exact BIGINT
+    arithmetic — no float-reduce-order drift. Scale shape: bigram counts
+    via a window over ONE shuffle on (w1, w2) (no join back for the count),
+    unigram counts broadcast (vocab << corpus; at 100 TB this becomes a
+    hash-partitioned equi-join), and the per-document sum partial-aggregates
+    map-side."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    words = toks.select("doc_id", F.explode("ws").alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    v = uni.count()  # exact vocab size (one count-distinct shuffle)
+    n = F.size("ws")
+    pairs = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    scored = (
+        pairs.withColumn("cb", cb)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .withColumn(
+            "q",
+            F.floor(
+                F.log((F.col("cb") + 1.0) / (F.col("cu") + F.lit(v)))
+                * LM_SCALE
+                + 0.5
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").alias("lm_score_micro"),
+        F.round(
+            F.sum("q") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("avg_logprob"),
+    )

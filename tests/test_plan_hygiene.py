@@ -285,3 +285,21 @@ def test_new_joins_avoid_cartesian_plans(spark):
         assert re.search(want, plan), (name, plan[:2000])
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_round7_text_queries_plan_shapes(spark):
+    """The substring-dedup join must stay a keyed join (never
+    nested-loop), and the LM scorer must take its bigram count from a
+    Window over one shuffle (no join back for the count) with the
+    unigram side broadcast."""
+    from fs2_osm_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["dedup_exact_substring"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(QUERIES["text_lm_quality_score"].fn(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
