@@ -57,6 +57,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # queries fall to the back; their rows stand.
 PRIORITY: list[str] = [
     # (a) added or behavior-changed in round 7
+    "text_bpe_train",
+    "sim_ivf_ann_filtered",
+    "text_pipeline_end2end",
     "graph_pagerank",
     "dedup_exact_substring",
     "text_lm_quality_score",

@@ -257,11 +257,12 @@ IVF_PROBE = 4
 IVF_MOD = 17
 
 
-def _ivf_md5_oracle() -> str:
+def _ivf_md5_oracle(cand_filter: str = "") -> str:
     """Full IVF pipeline re-derived in DuckDB: same md5-strided centroid
     sample, same argmax assignment, same n_probe nearest-list probe, same
     exact rerank with the (round(cos,7) DESC, neighbor_id) tie-break the
-    engine's window uses."""
+    engine's window uses. `cand_filter` narrows the searchable inverted
+    lists (metadata-filtered retrieval — sim_ivf_ann_filtered)."""
     from fs2_osm_spark.functions.text import h16_sql
 
     h = h16_sql("CAST(vec_id AS VARCHAR)")
@@ -289,7 +290,7 @@ def _ivf_md5_oracle() -> str:
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY cos DESC, cid) AS rn
             FROM cos_all
-        ) WHERE rn = 1
+        ) WHERE rn = 1{" AND " + cand_filter if cand_filter else ""}
     ),
     probe AS (
         SELECT vec_id AS query_id, cid FROM (
@@ -985,3 +986,40 @@ def sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, subs0, n_iters=PQ_TRAIN_ITERS, round_decimals=PQ_TRAIN_ROUND
     )
     return pq_encode_recon(corpus, trained)
+
+
+ANN_FILTER_SQL = "vec_id % 3 = 0"  # the metadata predicate of the filtered search
+
+
+@register("sim_ivf_ann_filtered", oracle=_ivf_md5_oracle(ANN_FILTER_SQL))
+def sim_ivf_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search (the filtered-retrieval feature of
+    vector stores): each query retrieves top-k only among corpus vectors
+    satisfying a metadata predicate. The filter is pushed INTO the
+    inverted-list candidate side — `assigned.filter(...)` narrows the
+    bucket equi-join's build input before any distance work, so
+    selectivity cuts the rerank cost proportionally (the scale win over
+    post-filtering a top-k that may then underflow k). Same md5-portable
+    quantizer as sim_ivf_ann_md5; the DuckDB twin applies the identical
+    predicate to its assigned CTE."""
+    import numpy as np
+
+    from fs2_osm_spark.functions.text import h16_sql
+    from fs2_osm_spark.operators.similarity import ivf_assign, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v"))
+    h = F.expr(h16_sql("CAST(vec_id AS STRING)")).cast("bigint")
+    sampled = (
+        corpus.withColumn("h", h)
+        .filter(F.pmod(F.col("h"), F.lit(IVF_MOD)) == 0)
+        .orderBy("h", "vec_id")
+        .limit(IVF_K)
+        .collect()
+    )
+    cents = [(i, np.asarray(r.v, np.float64)) for i, r in enumerate(sampled)]
+    assigned = ivf_assign(corpus, cents).filter(F.expr(ANN_FILTER_SQL))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_search(assigned, cents, queries, k=TOP_K, n_probe=IVF_PROBE)

@@ -716,3 +716,259 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q") / (F.count(F.lit(1)) * F.lit(1e6)), 6
         ).alias("avg_logprob"),
     )
+
+
+SNAP_OFFSET = 1_000_000  # second-crawl-snapshot id offset in the pipeline
+
+
+def _pipeline_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIX_PERMILLE.items()
+    )
+    keep_h = h16_sql("'mix|' || doc_id")
+    split_h = h16_sql("'split|' || doc_id")
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + {SNAP_OFFSET}, text, source, n_chars FROM documents
+    ),
+    q AS (
+        SELECT * FROM corpus
+        WHERE n_chars BETWEEN 50 AND 10000
+          AND len(string_split(text, ' ')) >= 8
+    ),
+    dedup AS MATERIALIZED (
+        SELECT doc_id, text, source FROM (
+            SELECT doc_id, text, source,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM q
+        ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup),
+    grams AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(ws[i : i + {_DECON_N} - 1], ' ') AS g
+        FROM toks, unnest(range(1, len(ws) - {_DECON_N} + 2)) AS t(i)
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    contaminated AS (
+        SELECT DISTINCT d.doc_id
+        FROM grams d JOIN eval_grams e ON d.g = e.g
+        WHERE d.doc_id % 97 <> 0
+    ),
+    clean AS (
+        SELECT * FROM dedup
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    mixed AS (
+        SELECT doc_id, source,
+               CASE WHEN ({split_h} % 1000) < {TRAIN_PERMILLE}
+                    THEN 'train' ELSE 'val' END AS split,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM clean
+        WHERE ({keep_h} % 1000) < (CASE {cases} ELSE {DEFAULT_PERMILLE} END)
+    ),
+    s AS (
+        SELECT doc_id, source, split, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS psum
+        FROM mixed
+    )
+    SELECT doc_id, source, split, n_tokens,
+           psum // {PACK_BUDGET} AS bin_id,
+           psum % {PACK_BUDGET} AS offset_in_bin
+    FROM s
+    """
+
+
+@register("text_pipeline_end2end", oracle=_pipeline_oracle())
+def text_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline, end to end in one plan: two
+    crawl snapshots of the corpus (the union simulates a re-crawl, so
+    exact dedup has real work) -> quality gate (length bounds + minimum
+    token count) -> exact dedup keeping the earliest snapshot per content
+    hash -> benchmark decontamination (drop 5-gram collisions with the
+    held-out doc_id % 97 == 0 set, which is itself held out) -> data-recipe
+    mixing + 95/5 split (md5 permille) -> token-budget sequence packing
+    over the survivors (distributed prefix sum). Every stage is the SAME
+    machinery its standalone query oracles individually; this query pins
+    that the stages compose — one DuckDB CTE chain re-derives the whole
+    pipeline. Scale shape: the only shuffles are the dedup hash partition,
+    the gram equi-join (eval side broadcast), and the pack range shuffle —
+    filters and the mix are narrow."""
+    from pyspark.sql import Window
+
+    from fs2_osm_spark.operators.packing import pack_token_bins
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "source", "n_chars")
+    corpus = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + SNAP_OFFSET)
+    )
+    toks = F.split(F.col("text"), " ")
+    q = corpus.filter(
+        F.col("n_chars").between(50, 10000) & (F.size(toks) >= 8)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "source")
+    )
+    grams = dedup.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _DECON_N),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _DECON_N)),
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.filter(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    keep_h = F.expr(h16_sql("'mix|' || doc_id"))
+    split_h = F.expr(h16_sql("'split|' || doc_id"))
+    permille = F.lit(DEFAULT_PERMILLE)
+    for s, p in reversed(MIX_PERMILLE.items()):
+        permille = F.when(F.col("source") == s, F.lit(p)).otherwise(permille)
+    mixed = clean.filter((keep_h % 1000) < permille).select(
+        "doc_id",
+        "source",
+        F.when((split_h % 1000) < TRAIN_PERMILLE, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_token_bins(mixed, "n_tokens", ["doc_id"], PACK_BUDGET)
+    return packed.select(
+        "doc_id", "source", "split", "n_tokens",
+        "bin_id", F.col("offset_in_bin").cast("bigint").alias("offset_in_bin"),
+    )
+
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    """BPE training fully re-derived in SQL (the kmeans/pagerank unrolled
+    chained-CTE pattern): each round re-counts weighted adjacent pairs,
+    picks the (count DESC, left, right) winner, and applies it with the
+    stretch-parity closed form of greedy leftmost-non-overlapping merging
+    — pair-positions are grouped into maximal consecutive stretches
+    (gaps-and-islands) and the odd members are the merge starts, which is
+    exactly what the engine's left-to-right fold computes."""
+    parts = [
+        """
+    WITH v AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS s
+        FROM v
+    )"""
+    ]
+    for k in range(BPE_MERGES):
+        parts.append(
+            f""",
+    pos{k} AS MATERIALIZED (
+        SELECT word, cnt, i, s[i] AS sym, s[i + 1] AS nxt, len(s) AS L
+        FROM s{k}, unnest(range(1, len(s) + 1)) AS t(i)
+    ),
+    best{k} AS MATERIALIZED (
+        SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS pc
+        FROM pos{k} WHERE i < L
+        GROUP BY sym, nxt
+        ORDER BY pc DESC, a, b LIMIT 1
+    ),
+    mark{k} AS (
+        SELECT p.word, p.cnt, p.i, p.sym, p.nxt,
+               CASE WHEN p.i < p.L AND p.sym = bb.a AND p.nxt = bb.b
+                    THEN 1 ELSE 0 END AS is_pair
+        FROM pos{k} p CROSS JOIN best{k} bb
+    ),
+    st{k} AS (
+        SELECT word, cnt, i, sym, nxt, is_pair,
+               CASE WHEN is_pair = 1 AND
+                    (row_number() OVER (PARTITION BY word, is_pair, grp
+                                        ORDER BY i)) % 2 = 1
+                    THEN 1 ELSE 0 END AS is_start
+        FROM (
+            SELECT *, i - row_number() OVER (PARTITION BY word, is_pair
+                                             ORDER BY i) AS grp
+            FROM mark{k}
+        )
+    ),
+    fin{k} AS (
+        SELECT word, cnt, i,
+               CASE WHEN is_start = 1 THEN sym || nxt ELSE sym END AS sym,
+               coalesce(lag(is_start) OVER (PARTITION BY word ORDER BY i), 0)
+                   AS prev_start
+        FROM st{k}
+    ),
+    s{k + 1} AS MATERIALIZED (
+        SELECT word, cnt, list(sym ORDER BY i) AS s
+        FROM fin{k} WHERE prev_start = 0
+        GROUP BY word, cnt
+    ),
+    tot{k + 1} AS (
+        SELECT CAST(sum(cnt * len(s)) AS BIGINT) AS t FROM s{k + 1}
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS step, a AS left_sym,"
+        f" b AS right_sym, pc AS pair_count, t AS corpus_tokens_after"
+        f" FROM best{k} CROSS JOIN tot{k + 1}"
+        for k in range(BPE_MERGES)
+    )
+    parts.append("\n    " + selects)
+    return "".join(parts)
+
+
+@register("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE merge training (Sennrich et al. 2016 — the algorithm
+    behind GPT-style tokenizers), distributed and hard-oracled
+    end-to-end: BPE_MERGES rounds of weighted pair counting, deterministic
+    top-1 selection, and greedy merge application over the corpus
+    word-frequency table (operators/bpe.py). Each learned merge depends on
+    every previous round's rewritten vocabulary, so the oracle's unrolled
+    twin pins the whole iterative computation; outputs one row per merge
+    with its pair count and the corpus token total after applying it."""
+    import pandas as pd
+
+    from fs2_osm_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    merges, _ = bpe_train(vocab, BPE_MERGES)
+    pdf = pd.DataFrame(
+        [(k + 1, l, r, pc, ta) for k, (l, r, pc, ta) in enumerate(merges)],
+        columns=[
+            "step", "left_sym", "right_sym", "pair_count",
+            "corpus_tokens_after",
+        ],
+    )
+    return spark.createDataFrame(
+        pdf,
+        "step long, left_sym string, right_sym string,"
+        " pair_count long, corpus_tokens_after long",
+    )
