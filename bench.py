@@ -38,6 +38,11 @@ HEADLINE = [
     "geo_knn_kring",
     "sim_bucket_ann",
     "text_fingerprint",
+    # round-7 additions: the composed curation pipeline (sf-scaled; its
+    # stages shuffle on span/hash keys) and the fixed-point PageRank
+    # (fixed 256-zone road graph; per-round join+agg shuffles)
+    "text_pipeline_end2end",
+    "graph_pagerank",
 ]
 
 
