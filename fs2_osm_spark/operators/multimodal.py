@@ -324,3 +324,99 @@ def sample_frames_indexed(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.select("media_id", "bytes", "fmt").mapInPandas(
         fn, FRAME_STATS_SCHEMA
     )
+
+
+# --- perceptual-hash near-duplicate detection -------------------------------
+
+PHASH_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("img_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def phash_frame(images: DataFrame, id_col: str = "img_id") -> DataFrame:
+    """Decode every image and compute its 64-bit perceptual hash — the
+    narrow (shuffle-free) pixel pass that turns a binary image table into a
+    1-row-per-image hash table the dedup machinery can band and join."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf[id_col],
+                    "phash": [
+                        phash64(decode_image(bytes(b), f))
+                        for b, f in zip(pdf["bytes"], pdf["fmt"])
+                    ],
+                }
+            )
+
+    return images.select(
+        F.col(id_col).alias(id_col), "bytes", "fmt"
+    ).mapInPandas(fn, PHASH_FRAME_SCHEMA)
+
+
+def phash_band_pairs(
+    hashed: DataFrame,
+    id_col: str = "img_id",
+    n_bands: int = 8,
+    hamming_t: int = 6,
+) -> DataFrame:
+    """Near-dup candidate pairs by LSH banding over the 64-bit hash, then
+    exact hamming verification — (id_a, id_b) with id_a < id_b.
+
+    With 8 bands of 8 bits, pigeonhole guarantees FULL recall for any pair
+    within hamming 7 (>= the verify threshold 6): d flipped bits can dirty
+    at most d bands, leaving a clean band that collides. The band join
+    shuffles only (band_idx, band_val, id, phash) — never the pixel bytes —
+    and distinct-s candidates BEFORE the popcount so a pair colliding in
+    several bands is verified once. At cluster scale a pathologically hot
+    band value (e.g. a flat-white-thumbnail band) is an AQE-skew-split or
+    salting case, same as any hot join key.
+    """
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    band_w = 64 // n_bands
+    if hamming_t > n_bands - 1:
+        raise ValueError(
+            f"banding recall guarantee needs hamming_t <= n_bands-1; "
+            f"got t={hamming_t}, bands={n_bands}"
+        )
+    mask = (1 << band_w) - 1
+    # arithmetic shift + mask == logical byte extract (sign bits masked off),
+    # mirrored exactly by the DuckDB twin's (phash >> s) & mask
+    bands = hashed.select(
+        F.col(id_col),
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), band_w * k).bitwiseAND(F.lit(mask))
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band_k", "band_v"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_k") == F.col("b.band_k"),
+                F.col("a.band_v") == F.col("b.band_v"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return cand.where(
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= hamming_t
+    ).select("id_a", "id_b")

@@ -18,5 +18,6 @@ from fs2_osm_spark.queries import relational2  # noqa: E402,F401
 from fs2_osm_spark.queries import geom_q  # noqa: E402,F401
 from fs2_osm_spark.queries import temporal  # noqa: E402,F401
 from fs2_osm_spark.queries import lakehouse  # noqa: E402,F401
+from fs2_osm_spark.queries import multimodal2  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries_map", "oracle_sql_map"]

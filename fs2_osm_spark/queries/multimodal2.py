@@ -1,0 +1,340 @@
+"""Image-axis training-pipeline queries (round 7): perceptual-hash
+near-dup clustering, the multi-zoom tile pyramid rollup, webdataset-style
+shard packing, and per-cell representative selection.
+
+All four run on committed fixture corpora (synth/staging.py) so every one
+carries a HARD DuckDB value oracle: the Spark side decodes pixels LIVE
+(mapInPandas over the binary column); the twin re-derives the identical
+result in pure SQL from the fixture's recorded columns, whose fidelity the
+anti-drift tests pin against live synthesis.
+
+Float discipline: per-image luminance is micro-quantized ONCE
+(floor(luma*1e6+0.5) as BIGINT, identical expression both engines) so every
+downstream aggregate is exact integer arithmetic — no reduce-order or
+round-half parity risk anywhere in the pyramid/mosaic rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fs2_osm_spark.functions.geo import tile_xyz, tile_xyz_sql
+from fs2_osm_spark.functions.hex import hex_cell, hex_cell_sql
+from fs2_osm_spark.operators.multimodal import (
+    CAPTION_COORD_RE,
+    decode_stats,
+    geotag,
+    phash_band_pairs,
+    phash_frame,
+)
+from fs2_osm_spark.queries.registry import register
+from fs2_osm_spark.synth.staging import (
+    IMAGES_FIXTURE,
+    PHASH_CORPUS,
+    ensure_images_fixture,
+    ensure_phash_corpus,
+)
+
+PHASH_BANDS = 8
+PHASH_T = 6  # <= bands-1 => pigeonhole guarantees full recall
+
+PYRAMID_ZOOMS = (12, 10, 8)  # finest first; each step divides x/y by 4
+
+SHARD_BUDGET = 64 * 1024  # bytes per training shard
+
+MOSAIC_RES = 6  # hex resolution for representative selection
+
+
+# --- img_phash_neardup ------------------------------------------------------
+
+def _phash_neardup_oracle() -> str:
+    mask = (1 << (64 // PHASH_BANDS)) - 1
+    return f"""
+    WITH RECURSIVE h AS MATERIALIZED (
+        SELECT img_id, phash FROM read_parquet('{PHASH_CORPUS}')
+    ),
+    bands AS MATERIALIZED (
+        SELECT img_id, phash, k,
+               (phash >> CAST(8 * k AS BIGINT)) & {mask} AS bv
+        FROM h, range(0, {PHASH_BANDS}) t(k)
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+                        a.phash AS ph_a, b.phash AS ph_b
+        FROM bands a
+        JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.img_id < b.img_id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM cand
+        WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_T}
+    ),
+    edges AS (
+        SELECT id_a AS x, id_b AS y FROM pairs
+        UNION
+        SELECT id_b AS x, id_a AS y FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT x AS id, x AS lbl FROM edges
+        UNION
+        SELECT e.x AS id, r.lbl FROM edges e JOIN reach r ON e.y = r.id
+    ),
+    cc AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+    SELECT h.img_id,
+           COALESCE(cc.cluster, h.img_id) AS cluster
+    FROM h LEFT JOIN cc ON h.img_id = cc.id
+    """
+
+
+@register("img_phash_neardup", oracle=_phash_neardup_oracle())
+def img_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup clustering over a binary image corpus: decode ->
+    aHash64 (live pixel pass, no shuffle) -> 8x8-bit LSH banding (full
+    recall at hamming <= 7 by pigeonhole) -> popcount verify at t=6 ->
+    min-label connected components; singletons label themselves. The DuckDB
+    twin re-derives bands, candidate pairs, the popcount verification, AND
+    the transitive closure from the fixture's recorded hashes — the only
+    trust boundary is hash == recorded-hash, pinned by the anti-drift test."""
+    from fs2_osm_spark.operators.dedup import connected_components, release_pins
+
+    corpus = spark.read.parquet(ensure_phash_corpus())
+    hashed = phash_frame(corpus)
+    pairs = phash_band_pairs(hashed, n_bands=PHASH_BANDS, hamming_t=PHASH_T)
+    cc = connected_components(pairs)
+    out = (
+        hashed.join(cc, hashed.img_id == cc.id, "left")
+        .select(
+            "img_id",
+            F.coalesce(F.col("cluster"), F.col("img_id")).alias("cluster"),
+        )
+        .cache()
+    )
+    # materialize, then drop the CC iteration pins — a post-release
+    # re-execution of `out` is CORRECT (unlike the packing guard), just
+    # recomputes; selfcheck clears the result cache per-query
+    out.count()
+    release_pins()
+    return out
+
+
+# --- img_tile_pyramid -------------------------------------------------------
+
+_LUMA_MICRO_SQL = (
+    "CAST(floor((((dec_mean_r + dec_mean_g) + dec_mean_b) / 3.0) * 1000000.0"
+    " + 0.5) AS BIGINT)"
+)
+
+
+def _tile_pyramid_oracle() -> str:
+    x12, y12 = tile_xyz_sql("lon", "lat", 12)
+    levels = []
+    for z in PYRAMID_ZOOMS:
+        div = 1 << (12 - z)  # z12 -> z: halve per zoom step
+        levels.append(f"""
+        SELECT CAST({z} AS BIGINT) AS z,
+               x12 // {div} AS x, y12 // {div} AS y,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(luma_micro) AS BIGINT) AS sum_luma_micro,
+               CAST(sum(luma_micro) // count(*) AS BIGINT) AS mean_luma_micro
+        FROM base GROUP BY 2, 3""")
+    union = "\n    UNION ALL\n".join(levels)
+    return f"""
+    WITH pts AS (
+        SELECT CAST(regexp_extract(caption, 'at (-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1)
+                    AS DOUBLE) AS lat,
+               CAST(regexp_extract(caption, 'at (-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2)
+                    AS DOUBLE) AS lon,
+               {_LUMA_MICRO_SQL} AS luma_micro
+        FROM read_parquet('{IMAGES_FIXTURE}')
+    ),
+    base AS (SELECT {x12} AS x12, {y12} AS y12, luma_micro FROM pts)
+    {union}
+    """
+
+
+@register("img_tile_pyramid", oracle=_tile_pyramid_oracle())
+def img_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom map-tile rollup of decoded image stats (z12 -> z10 -> z8):
+    ONE live decode pass + ONE shuffle at the finest zoom; the coarser
+    levels aggregate the (orders-of-magnitude smaller) z12 partials by
+    integer-dividing the tile indices — the hypertable-rollup shape that
+    keeps a 100 TB pyramid build from re-scanning pixels per level. The
+    oracle recomputes every level directly from the raw points, proving
+    partial-rollup == direct aggregation (exact: counts and micro-quantized
+    luma sums are all BIGINT)."""
+    images = spark.read.parquet(ensure_images_fixture())
+    st = decode_stats(images).select(
+        "image_id",
+        F.floor(
+            (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
+            * 1000000.0
+            + 0.5
+        ).alias("luma_micro"),
+    )
+    pts = geotag(images).select("image_id", "lon", "lat")
+    x12, y12 = tile_xyz(F.col("lon"), F.col("lat"), 12)
+    base = (
+        pts.join(st, "image_id")
+        .select(x12.alias("x12"), y12.alias("y12"), "luma_micro")
+        .groupBy("x12", "y12")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("luma_micro").alias("sum_luma_micro"),
+        )
+    )
+    # ONE plan lineage for all three zooms: each z12 partial explodes into
+    # its (z, x>>k, y>>k) ancestors and a single groupBy aggregates the
+    # whole pyramid. (A per-level unionByName would replan — and re-decode —
+    # the base subtree once per level: measured 3 MapInPandas nodes.)
+    levels = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(z).cast("bigint").alias("z"),
+                    F.expr(f"x12 div {1 << (12 - z)}").alias("x"),
+                    F.expr(f"y12 div {1 << (12 - z)}").alias("y"),
+                )
+                for z in PYRAMID_ZOOMS
+            ]
+        )
+    )
+    return (
+        base.select(levels.alias("zxy"), "n_images", "sum_luma_micro")
+        .groupBy("zxy.z", "zxy.x", "zxy.y")
+        .agg(
+            F.sum("n_images").alias("n_images"),
+            F.sum("sum_luma_micro").alias("sum_luma_micro"),
+        )
+        .select(
+            "z", "x", "y", "n_images", "sum_luma_micro",
+            F.expr("sum_luma_micro div n_images").alias("mean_luma_micro"),
+        )
+    )
+
+
+# --- img_shard_pack ---------------------------------------------------------
+
+def _shard_pack_oracle() -> str:
+    return f"""
+    WITH s AS (
+        SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS sz
+        FROM read_parquet('{IMAGES_FIXTURE}')
+    ),
+    o AS (
+        SELECT image_id, sz,
+               COALESCE(SUM(sz) OVER (ORDER BY image_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS off
+        FROM s
+    )
+    SELECT off // {SHARD_BUDGET} AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(sz) AS BIGINT) AS shard_bytes,
+           min(image_id) AS first_id,
+           max(image_id) AS last_id
+    FROM o GROUP BY 1
+    """
+
+
+@register("img_shard_pack", oracle=_shard_pack_oracle())
+def img_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style shard manifest: images are packed into ~64 KiB
+    training shards by cumulative byte size in deterministic image_id
+    order. The naive formulation is a single-task global window; this runs
+    the distributed exclusive prefix sum (range shuffle + two narrow
+    passes — the machinery sequence packing uses), so shard assignment
+    parallelizes at any corpus size. Cached + materialized before
+    release_pins() for the same reason text_global_shuffle is."""
+    from fs2_osm_spark.operators.packing import (
+        distributed_prefix_sum,
+        release_pins,
+    )
+
+    imgs = spark.read.parquet(ensure_images_fixture()).select(
+        "image_id", F.octet_length("bytes").cast("bigint").alias("sz")
+    )
+    off = distributed_prefix_sum(imgs, "sz", ["image_id"], out_col="off")
+    manifest = (
+        off.groupBy(F.expr(f"off div {SHARD_BUDGET}").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sz").alias("shard_bytes"),
+            F.min("image_id").alias("first_id"),
+            F.max("image_id").alias("last_id"),
+        )
+    )
+    out = manifest.cache()
+    out.count()
+    release_pins()
+    return out
+
+
+# --- img_cell_mosaic --------------------------------------------------------
+
+def _cell_mosaic_oracle() -> str:
+    cell = hex_cell_sql("lon", "lat", MOSAIC_RES)
+    return f"""
+    WITH pts AS (
+        SELECT image_id,
+               CAST(regexp_extract(caption, 'at (-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1)
+                    AS DOUBLE) AS lat,
+               CAST(regexp_extract(caption, 'at (-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2)
+                    AS DOUBLE) AS lon,
+               {_LUMA_MICRO_SQL} AS luma_micro
+        FROM read_parquet('{IMAGES_FIXTURE}')
+    ),
+    cells AS (SELECT image_id, luma_micro, {cell} AS cell FROM pts),
+    ranked AS (
+        SELECT cell, image_id, luma_micro,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY luma_micro DESC, image_id DESC) AS rk,
+               count(*) OVER (PARTITION BY cell) AS n_images
+        FROM cells
+    )
+    SELECT cell, image_id AS rep_image_id,
+           luma_micro AS rep_luma_micro,
+           CAST(n_images AS BIGINT) AS n_images
+    FROM ranked WHERE rk = 1
+    """
+
+
+@register("img_cell_mosaic", oracle=_cell_mosaic_oracle())
+def img_cell_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hex-cell representative image (the mosaic/diversity-sampling
+    primitive: one exemplar per map cell for dataset curation or tile
+    preview). Deterministic argmax — brightest decoded image, image_id as
+    the tie-break — via a window over the cell key; the decode pass stays
+    narrow and only (cell, id, luma) reaches the shuffle."""
+    images = spark.read.parquet(ensure_images_fixture())
+    st = decode_stats(images).select(
+        "image_id",
+        F.floor(
+            (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
+            * 1000000.0
+            + 0.5
+        ).alias("luma_micro"),
+    )
+    cells = (
+        geotag(images)
+        .select(
+            "image_id", hex_cell(F.col("lon"), F.col("lat"), MOSAIC_RES).alias("cell")
+        )
+        .join(st, "image_id")
+    )
+    w = Window.partitionBy("cell")
+    ranked = cells.select(
+        "cell",
+        "image_id",
+        "luma_micro",
+        F.row_number()
+        .over(w.orderBy(F.col("luma_micro").desc(), F.col("image_id").desc()))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_images"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cell",
+        F.col("image_id").alias("rep_image_id"),
+        F.col("luma_micro").alias("rep_luma_micro"),
+        F.col("n_images").cast("bigint").alias("n_images"),
+    )

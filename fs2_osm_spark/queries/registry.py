@@ -57,6 +57,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # queries fall to the back; their rows stand.
 PRIORITY: list[str] = [
     # (a) added or behavior-changed in round 7
+    "img_phash_neardup",
+    "img_tile_pyramid",
+    "img_shard_pack",
+    "img_cell_mosaic",
     "text_bpe_train",
     "sim_ivf_ann_filtered",
     "text_pipeline_end2end",

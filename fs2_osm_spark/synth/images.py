@@ -153,3 +153,113 @@ def images_table(
             yield generate_batch(pdf["id"].to_numpy(np.int64), slim=slim)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# --- phash near-dup corpus --------------------------------------------------
+# aHash only discriminates when block means sit far from the global mean.
+# The flagship corpus above shares ONE gradient base across every image
+# (measured median pairwise hamming = 3 — phash-hostile by construction), so
+# near-dup detection gets its own synthesis: a per-image random 8x8
+# dark/bright block pattern (margin +-85 around the global mean) upsampled to
+# 32x32 plus low-amplitude noise. Unrelated patterns differ in
+# ~Binomial(64, 1/2) hash bits (median 32); each derived variant below stays
+# within a few bits of its base, so a hamming threshold of 6 separates the
+# classes with enormous margin.
+
+ND_SIZE = 32  # square images; 8x8 aHash blocks = 4x4 px each
+ND_DARK, ND_BRIGHT = 40, 210
+ND_NOISE = 16  # < half the 85 margin even stacked with +8 brightness
+ND_BRIGHTNESS_SHIFT = 8
+ND_FLIP_CELLS = 4  # 'fl' variant: exactly 4 hash bits flip
+ND_VARIANTS = ("o", "re", "jq", "br", "fl")
+
+
+def _neardup_streams(i: int) -> tuple[np.ndarray, np.ndarray]:
+    """(8x8 0/1 pattern, 32x32x3 noise) for base image i — one seeded
+    stream so pattern and noise are jointly reproducible."""
+    rng = np.random.default_rng(SEED * 7_000_003 + i)
+    pattern = rng.integers(0, 2, size=(8, 8))
+    noise = rng.integers(0, ND_NOISE, size=(ND_SIZE, ND_SIZE, 3))
+    return pattern, noise
+
+
+def _pattern_pixels(pattern: np.ndarray, noise: np.ndarray) -> np.ndarray:
+    cell = ND_SIZE // 8
+    base = np.where(pattern == 1, ND_BRIGHT, ND_DARK)
+    img = np.kron(base, np.ones((cell, cell), dtype=np.int64))
+    # max ND_BRIGHT + ND_NOISE - 1 + ND_BRIGHTNESS_SHIFT = 233: no clipping
+    # anywhere in the corpus, so the brightness variant shifts every block
+    # mean AND the global mean by exactly the same amount (phash-invariant).
+    return np.clip(img[:, :, None] + noise, 0, 255).astype(np.uint8)
+
+
+def neardup_batch(ids: np.ndarray) -> pd.DataFrame:
+    """5 rows per base id: original, lossless re-encode (byte-identical —
+    the classic stored-twice exact dup), default-quality lossy re-encode,
+    +8 brightness, and a 4-cell pattern flip (hamming exactly 4, just under
+    the threshold). Columns (img_id, src_id, variant, bytes, fmt, phash);
+    phash is recorded from the DECODED payload so the committed fixture is
+    ground truth for the live decode->hash path."""
+    from fs2_osm_spark.codecs.png import decode_image
+
+    rows = []
+    for i in ids.tolist():
+        pattern, noise = _neardup_streams(i)
+        pix = _pattern_pixels(pattern, noise)
+        src = f"img_{i:012d}"
+        variants = {
+            "o": (encode_png(pix), "png"),
+            "re": (encode_png(decode_image(encode_png(pix), "png")), "png"),
+            "jq": (encode_lossy(pix), "jpeg"),
+            "br": (
+                encode_png((pix.astype(np.int64) + ND_BRIGHTNESS_SHIFT).astype(np.uint8)),
+                "png",
+            ),
+        }
+        flip_rng = np.random.default_rng(SEED * 7_000_003 + i + 500_000_011)
+        flip = flip_rng.choice(64, size=ND_FLIP_CELLS, replace=False)
+        flipped = pattern.copy().ravel()
+        flipped[flip] ^= 1
+        variants["fl"] = (encode_png(_pattern_pixels(flipped.reshape(8, 8), noise)), "png")
+        for v in ND_VARIANTS:
+            payload, fmt = variants[v]
+            rows.append(
+                (
+                    f"{src}~{v}",
+                    src,
+                    v,
+                    payload,
+                    fmt,
+                    phash64(decode_image(payload, fmt)),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["img_id", "src_id", "variant", "bytes", "fmt", "phash"]
+    )
+
+
+def neardup_table(
+    spark: SparkSession, n_base: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed near-dup corpus: 5 variant rows per base id (see
+    neardup_batch). Same driver-free generation pattern as images_table —
+    row content is a pure function of the base id, so this scales to any
+    corpus size at generation parallelism = partitions."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    schema = T.StructType(
+        [
+            T.StructField("img_id", T.StringType(), False),
+            T.StructField("src_id", T.StringType(), False),
+            T.StructField("variant", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield neardup_batch(pdf["id"].to_numpy(np.int64))
+
+    return spark.range(0, n_base, 1, parts).mapInPandas(gen, schema)

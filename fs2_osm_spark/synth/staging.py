@@ -586,3 +586,28 @@ def ensure_sim_fixture(spark) -> str:
             pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
             os.replace(tmp, sim_fixture_path(name))
     return SIM_FIXTURE_DIR
+
+
+PHASH_CORPUS = os.path.join(_REPO_ROOT, "fixtures", "phash_corpus.parquet")
+PHASH_N_BASE = 200  # x5 variants = 1000 corpus rows
+
+
+def ensure_phash_corpus() -> str:
+    """Write the committed near-dup image corpus if absent (see
+    synth/images.py neardup_batch). The recorded `phash` column is what the
+    img_phash_neardup DuckDB twin derives bands/pairs/closure from; the
+    Spark side decodes `bytes` and hashes LIVE, and the anti-drift test in
+    tests/test_phash_neardup.py re-synthesizes a sample so a drifting
+    generator or codec invalidates the fixture loudly."""
+    if not os.path.exists(PHASH_CORPUS):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fs2_osm_spark.synth.images import neardup_batch
+
+        pdf = neardup_batch(np.arange(PHASH_N_BASE, dtype=np.int64))
+        os.makedirs(os.path.dirname(PHASH_CORPUS), exist_ok=True)
+        tmp = PHASH_CORPUS + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, PHASH_CORPUS)
+    return PHASH_CORPUS

@@ -1,0 +1,50 @@
+"""Tile pyramid, shard packing, and cell-mosaic invariants (the parts a
+value oracle can't express: cross-level conservation and plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_osm_spark.queries.multimodal2 import (
+    PYRAMID_ZOOMS,
+    SHARD_BUDGET,
+    img_shard_pack,
+    img_tile_pyramid,
+)
+from fs2_osm_spark.synth.staging import N_FIXTURE_IMAGES
+
+
+def test_pyramid_levels_conserve_mass(spark):
+    pdf = img_tile_pyramid(spark, "unused").toPandas()
+    for z in PYRAMID_ZOOMS:
+        lvl = pdf[pdf.z == z]
+        assert lvl.n_images.sum() == N_FIXTURE_IMAGES, z
+        # rollup conserves the luma sum exactly (all-integer arithmetic)
+        assert lvl.sum_luma_micro.sum() == pdf[pdf.z == 12].sum_luma_micro.sum()
+    # coarser zooms have (weakly) fewer tiles; parents contain their children
+    sizes = {z: (pdf.z == z).sum() for z in PYRAMID_ZOOMS}
+    assert sizes[12] >= sizes[10] >= sizes[8]
+    child = pdf[pdf.z == 12][["x", "y"]].assign(px=lambda d: d.x // 4, py=lambda d: d.y // 4)
+    parents = set(map(tuple, pdf[pdf.z == 10][["x", "y"]].to_numpy()))
+    assert set(map(tuple, child[["px", "py"]].to_numpy())) == parents
+
+
+def test_pyramid_single_decode_pass(spark):
+    """The pyramid plan must contain exactly ONE Python-worker stage (the
+    decode mapInPandas) — the z10/z8 levels aggregate partials, they never
+    re-decode."""
+    plan = img_tile_pyramid(spark, "unused")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_shard_pack_budget_and_order(spark):
+    pdf = img_shard_pack(spark, "unused").toPandas().sort_values("shard_id")
+    assert pdf.n_images.sum() == N_FIXTURE_IMAGES
+    # shards are contiguous id ranges: each shard's first id follows the
+    # previous shard's last id lexicographically
+    lasts = pdf.last_id.tolist()
+    firsts = pdf.first_id.tolist()
+    assert all(lasts[i] < firsts[i + 1] for i in range(len(pdf) - 1))
+    # every shard except possibly the last crosses the budget boundary by at
+    # most one image: its bytes minus its final image must be < budget
+    assert (pdf.shard_bytes.iloc[:-1] >= SHARD_BUDGET * 0.5).all()

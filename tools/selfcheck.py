@@ -50,11 +50,21 @@ def main() -> int:
             from fs2_osm_spark.operators.dedup import release_pins
 
             release_pins()
-        if name == "text_pack_bins" or name == "text_global_shuffle":
+        if name in ("text_pack_bins", "text_global_shuffle", "img_shard_pack"):
             from fs2_osm_spark.operators.packing import release_pins as rp
 
             rp()
-        if name in ("text_global_shuffle", "osm_apply_diff"):
+        if name == "img_phash_neardup":
+            # same pin hygiene as the dedup_ prefix: CC iteration pins
+            from fs2_osm_spark.operators.dedup import release_pins
+
+            release_pins()
+        if name in (
+            "text_global_shuffle",
+            "osm_apply_diff",
+            "img_shard_pack",
+            "img_phash_neardup",
+        ):
             # these queries cache small frames their lazily-consumed result
             # depends on; once the CLI has collected, drop them
             spark.catalog.clearCache()
