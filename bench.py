@@ -347,6 +347,44 @@ def main() -> None:
         )
         pq_index.unpersist()
 
+        # perceptual near-dup dedup at 100k-image scale: a staged
+        # 20k-base x 5-variant corpus (BENCH/cache, byte-real PNG/JQ01
+        # payloads); timed section = live decode -> aHash64 -> LSH band
+        # join -> popcount verify -> min-label CC. Bands are 16-bit here
+        # (4 bands): at 100k images an 8-bit band bucket holds ~400 ids
+        # (~160M candidate pairs); 16-bit buckets hold ~1.5 — candidate
+        # volume stays O(n). Full recall at hamming<=3 captures the
+        # exact/lossy/brightness variant classes (all d=0 on this
+        # corpus); the 4-cell-flip variant sits at d=4 — outside the
+        # verify threshold BY CONSTRUCTION, so the expected result is
+        # exactly 4-variant clusters + flip singletons (deterministic:
+        # 80k CC rows). Recall beyond d=3 is the multiprobe tradeoff,
+        # exactly like dedup_simhash_multiprobe.
+        from fs2_osm_spark.operators.dedup import (
+            connected_components as nd_cc,
+        )
+        from fs2_osm_spark.operators.multimodal import (
+            phash_band_pairs,
+            phash_frame,
+        )
+        from fs2_osm_spark.synth.images import neardup_table
+
+        nd_path = os.path.join(CACHE_DIR, "images_neardup_100k.parquet")
+        if not os.path.exists(nd_path):
+            neardup_table(spark, 20_000, partitions=64).write.mode(
+                "overwrite"
+            ).parquet(nd_path)
+
+        def nd_run() -> int:
+            hashed = phash_frame(spark.read.parquet(nd_path))
+            pairs = phash_band_pairs(hashed, n_bands=4, hamming_t=3)
+            n = nd_cc(pairs).count()
+            release_pins()  # CC iteration pins, per pass
+            return n
+
+        nd_clusters_rows = timed("img_phash_dedup_100k", nd_run)
+        assert nd_clusters_rows >= 80_000, nd_clusters_rows
+
         # full PBF lifecycle: synthesize frames -> wire decode -> export
         # fan-out + 17 feature passes -> flagship join, batched + lineage
         # (the reference's whole runExport stitched to the north rule)
