@@ -338,3 +338,38 @@ def img_cell_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("luma_micro").alias("rep_luma_micro"),
         F.col("n_images").cast("bigint").alias("n_images"),
     )
+
+
+# --- stream_image_dedup -----------------------------------------------------
+
+def _stream_image_dedup_oracle() -> str:
+    return f"""
+    WITH h AS MATERIALIZED (
+        SELECT img_id, phash,
+               row_number() OVER (ORDER BY img_id) - 1 AS arrival
+        FROM read_parquet('{PHASH_CORPUS}')
+    )
+    SELECT a.img_id,
+           NOT EXISTS (SELECT 1 FROM h b
+                       WHERE b.arrival < a.arrival
+                         AND bit_count(xor(a.phash, b.phash)) <= {PHASH_T})
+               AS is_novel
+    FROM h a
+    """
+
+
+@register("stream_image_dedup", oracle=_stream_image_dedup_oracle())
+def stream_image_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-arrival over the ordered image feed: foreachBatch
+    decodes + hashes each micro-batch live, band-joins it against the
+    accumulated hash index (plus earlier arrivals in the same batch), flags
+    near-dups, and appends EVERY arrival to the index. Full-recall banding
+    makes the streamed result equal the pure threshold formula the oracle
+    evaluates all-pairs — and therefore independent of micro-batch
+    boundaries (pinned 1-vs-5 batches in pytest)."""
+    from fs2_osm_spark.streaming.images import stream_image_dedup
+
+    return stream_image_dedup(
+        spark, ensure_phash_corpus(), n_batches=5,
+        n_bands=PHASH_BANDS, hamming_t=PHASH_T,
+    )

@@ -58,6 +58,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 PRIORITY: list[str] = [
     # (a) added or behavior-changed in round 7
     "img_phash_neardup",
+    "stream_image_dedup",
     "img_tile_pyramid",
     "img_shard_pack",
     "img_cell_mosaic",

@@ -303,3 +303,21 @@ def test_round7_text_queries_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_band_join_plan_shape(spark):
+    """The near-dup band join must be a keyed join on (band_idx, band_val)
+    — never a nested-loop — and the shuffled columns must exclude the
+    image `bytes` payload (only ids/hashes/bands move)."""
+    from fs2_osm_spark.operators.multimodal import phash_band_pairs
+    from fs2_osm_spark.queries.multimodal2 import PHASH_BANDS, PHASH_T
+    from fs2_osm_spark.synth.staging import ensure_phash_corpus
+
+    hashed = spark.read.parquet(ensure_phash_corpus()).select("img_id", "phash")
+    plan = _plan(phash_band_pairs(hashed, n_bands=PHASH_BANDS, hamming_t=PHASH_T))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert re.search("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+    assert "bytes" not in plan  # binary payload never reaches the join
