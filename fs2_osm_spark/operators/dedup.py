@@ -49,6 +49,11 @@ def _persist_pinned(df: DataFrame) -> DataFrame:
     return df
 
 
+# public name for sibling operator modules (multimodal's phash banding)
+# whose pins should ride the same release path callers already invoke
+persist_pinned = _persist_pinned
+
+
 def release_pins() -> int:
     """Unpersist every plan-pin this module has persisted. Safe any time —
     an in-flight plan that still references a released pin just recomputes.

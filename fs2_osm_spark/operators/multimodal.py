@@ -358,6 +358,23 @@ def phash_frame(images: DataFrame, id_col: str = "img_id") -> DataFrame:
     ).mapInPandas(fn, PHASH_FRAME_SCHEMA)
 
 
+def band_cols(col: str, n_bands: int) -> list[Column]:
+    """The (64/n_bands)-bit band values of a 64-bit hash column — ONE
+    definition shared by the batch band join below and the streaming
+    dedup-on-arrival join (streaming/images.py), so the width/mask
+    arithmetic cannot drift between them. Arithmetic shift + mask ==
+    logical byte extract (sign bits masked off), mirrored exactly by the
+    DuckDB twins' (phash >> s) & mask."""
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    band_w = 64 // n_bands
+    mask = (1 << band_w) - 1
+    return [
+        F.shiftright(F.col(col), band_w * k).bitwiseAND(F.lit(mask)).alias(f"b{k}")
+        for k in range(n_bands)
+    ]
+
+
 def phash_band_pairs(
     hashed: DataFrame,
     id_col: str = "img_id",
@@ -376,28 +393,24 @@ def phash_band_pairs(
     band value (e.g. a flat-white-thumbnail band) is an AQE-skew-split or
     salting case, same as any hot join key.
     """
-    if 64 % n_bands:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    band_w = 64 // n_bands
     if hamming_t > n_bands - 1:
         raise ValueError(
             f"banding recall guarantee needs hamming_t <= n_bands-1; "
             f"got t={hamming_t}, bands={n_bands}"
         )
-    mask = (1 << band_w) - 1
-    # arithmetic shift + mask == logical byte extract (sign bits masked off),
-    # mirrored exactly by the DuckDB twin's (phash >> s) & mask
+    # pin the (id, phash) frame before the self-join — otherwise BOTH join
+    # sides re-run the whole upstream pipeline (for image corpora that is
+    # the full decode+hash pass, the dominant cost). Same share-once persist
+    # the minhash banding uses; released by dedup.release_pins().
+    from fs2_osm_spark.operators.dedup import persist_pinned
+
+    hashed = persist_pinned(hashed.select(F.col(id_col), "phash"))
     bands = hashed.select(
         F.col(id_col),
         "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("phash"), band_w * k).bitwiseAND(F.lit(mask))
-                    for k in range(n_bands)
-                ]
-            )
-        ).alias("band_k", "band_v"),
+        F.posexplode(F.array(*band_cols("phash", n_bands))).alias(
+            "band_k", "band_v"
+        ),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

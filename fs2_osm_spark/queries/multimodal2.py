@@ -1,8 +1,9 @@
 """Image-axis training-pipeline queries (round 7): perceptual-hash
 near-dup clustering, the multi-zoom tile pyramid rollup, webdataset-style
-shard packing, and per-cell representative selection.
+shard packing, per-cell representative selection, and streaming
+dedup-on-arrival.
 
-All four run on committed fixture corpora (synth/staging.py) so every one
+All five run on committed fixture corpora (synth/staging.py) so every one
 carries a HARD DuckDB value oracle: the Spark side decodes pixels LIVE
 (mapInPandas over the binary column); the twin re-derives the identical
 result in pure SQL from the fixture's recorded columns, whose fidelity the
@@ -50,14 +51,15 @@ MOSAIC_RES = 6  # hex resolution for representative selection
 # --- img_phash_neardup ------------------------------------------------------
 
 def _phash_neardup_oracle() -> str:
-    mask = (1 << (64 // PHASH_BANDS)) - 1
+    band_w = 64 // PHASH_BANDS
+    mask = (1 << band_w) - 1
     return f"""
     WITH RECURSIVE h AS MATERIALIZED (
         SELECT img_id, phash FROM read_parquet('{PHASH_CORPUS}')
     ),
     bands AS MATERIALIZED (
         SELECT img_id, phash, k,
-               (phash >> CAST(8 * k AS BIGINT)) & {mask} AS bv
+               (phash >> CAST({band_w} * k AS BIGINT)) & {mask} AS bv
         FROM h, range(0, {PHASH_BANDS}) t(k)
     ),
     cand AS MATERIALIZED (
@@ -102,8 +104,12 @@ def img_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = phash_frame(corpus)
     pairs = phash_band_pairs(hashed, n_bands=PHASH_BANDS, hamming_t=PHASH_T)
     cc = connected_components(pairs)
+    # enumerate ids from the plain parquet column, NOT from `hashed` — the
+    # decode pipeline should run once (inside the pinned band join), not
+    # again just to list the corpus
+    ids = corpus.select("img_id")
     out = (
-        hashed.join(cc, hashed.img_id == cc.id, "left")
+        ids.join(cc, ids.img_id == cc.id, "left")
         .select(
             "img_id",
             F.coalesce(F.col("cluster"), F.col("img_id")).alias("cluster"),
@@ -124,6 +130,20 @@ _LUMA_MICRO_SQL = (
     "CAST(floor((((dec_mean_r + dec_mean_g) + dec_mean_b) / 3.0) * 1000000.0"
     " + 0.5) AS BIGINT)"
 )
+
+
+def _luma_micro_stats(images: DataFrame) -> DataFrame:
+    """(image_id, luma_micro) from the LIVE decode pass — the Column twin
+    of _LUMA_MICRO_SQL, defined once so the pyramid and mosaic queries
+    cannot drift from each other or from the oracle expression."""
+    return decode_stats(images).select(
+        "image_id",
+        F.floor(
+            (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
+            * 1000000.0
+            + 0.5
+        ).alias("luma_micro"),
+    )
 
 
 def _tile_pyramid_oracle() -> str:
@@ -164,14 +184,7 @@ def img_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-rollup == direct aggregation (exact: counts and micro-quantized
     luma sums are all BIGINT)."""
     images = spark.read.parquet(ensure_images_fixture())
-    st = decode_stats(images).select(
-        "image_id",
-        F.floor(
-            (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
-            * 1000000.0
-            + 0.5
-        ).alias("luma_micro"),
-    )
+    st = _luma_micro_stats(images)
     pts = geotag(images).select("image_id", "lon", "lat")
     x12, y12 = tile_xyz(F.col("lon"), F.col("lat"), 12)
     base = (
@@ -307,14 +320,7 @@ def img_cell_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie-break — via a window over the cell key; the decode pass stays
     narrow and only (cell, id, luma) reaches the shuffle."""
     images = spark.read.parquet(ensure_images_fixture())
-    st = decode_stats(images).select(
-        "image_id",
-        F.floor(
-            (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
-            * 1000000.0
-            + 0.5
-        ).alias("luma_micro"),
-    )
+    st = _luma_micro_stats(images)
     cells = (
         geotag(images)
         .select(

@@ -30,20 +30,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fs2_osm_spark.operators.multimodal import phash_frame
+from fs2_osm_spark.operators.multimodal import band_cols, phash_frame
 
 # previous run's durable output table (same bounded-disk contract as
 # _CDC_STATE in streaming/events.py: at most one superseded tree)
 _IMG_DEDUP_OUT: dict[str, str | None] = {"path": None}
-
-
-def _band_cols(col: str, n_bands: int) -> list:
-    band_w = 64 // n_bands
-    mask = (1 << band_w) - 1
-    return [
-        F.shiftright(F.col(col), band_w * k).bitwiseAND(F.lit(mask)).alias(f"b{k}")
-        for k in range(n_bands)
-    ]
 
 
 def _earlier_dup_ids(
@@ -53,7 +44,7 @@ def _earlier_dup_ids(
     arrival (prior may include the batch itself). Banded join: only
     (arrival, phash, band) reaches the shuffle, never image bytes."""
     explode = F.posexplode(
-        F.array(*[c for c in _band_cols("phash", n_bands)])
+        F.array(*band_cols("phash", n_bands))
     ).alias("k", "bv")
     b = batch.select("img_id", "arrival", "phash", explode)
     p = prior.select(
@@ -106,12 +97,18 @@ def stream_image_dedup(
     root = tempfile.mkdtemp(prefix="img_dedup_stream_")
     feed_dir = os.path.join(root, "feed")
     os.makedirs(feed_dir)
+    # FileStreamSource replays oldest-mtime-first at MILLISECOND
+    # granularity: two fast sequential writes can tie and replay in random
+    # part-file-name order, so each slice's files get an explicit strictly
+    # increasing timestamp instead of relying on write latency
+    base_t = int(os.stat(feed_dir).st_mtime)
     for k in range(n_batches):
-        # sequential single-file slices: increasing mtime => the file
-        # source replays them in arrival order
+        before = set(os.listdir(feed_dir))
         ordered.filter(
             (F.col("arrival") >= k * per) & (F.col("arrival") < (k + 1) * per)
         ).coalesce(1).write.mode("append").parquet(feed_dir)
+        for f in set(os.listdir(feed_dir)) - before:
+            os.utime(os.path.join(feed_dir, f), (base_t + k + 1, base_t + k + 1))
 
     schema = ordered.schema
     stream = (
@@ -124,26 +121,38 @@ def stream_image_dedup(
     flags_dir = os.path.join(root, "flags")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        hashed = phash_frame(batch_df).join(
-            batch_df.select("img_id", "arrival"), "img_id"
+        # pin the decoded hashes: `hashed` feeds the dup join twice (probe
+        # side + prior union), the flags join, and the state snapshot —
+        # unpersisted, every micro-batch would decode its images ~4x
+        hashed = (
+            phash_frame(batch_df)
+            .join(batch_df.select("img_id", "arrival"), "img_id")
+            .persist()
         )
-        prev_path = holder["state"]
-        if prev_path is not None:
-            state = spark.read.parquet(prev_path)
-            prior = state.unionByName(hashed)
-        else:
-            prior = hashed
-        dup = _earlier_dup_ids(hashed, prior, n_bands, hamming_t)
-        flags = hashed.join(dup.withColumn("_d", F.lit(True)), "img_id", "left").select(
-            "img_id", F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")
-        )
-        flags.write.mode("append").parquet(flags_dir)
-        out = os.path.join(root, f"state_v{batch_id}")
-        # every arrival joins the index (dups of dups are still dups)
-        prior.select("img_id", "arrival", "phash").write.mode("overwrite").parquet(out)
-        holder["state"] = out
-        if prev_path is not None:
-            shutil.rmtree(prev_path, ignore_errors=True)
+        try:
+            prev_path = holder["state"]
+            if prev_path is not None:
+                state = spark.read.parquet(prev_path)
+                prior = state.unionByName(hashed)
+            else:
+                prior = hashed
+            dup = _earlier_dup_ids(hashed, prior, n_bands, hamming_t)
+            flags = hashed.join(
+                dup.withColumn("_d", F.lit(True)), "img_id", "left"
+            ).select(
+                "img_id", F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")
+            )
+            flags.write.mode("append").parquet(flags_dir)
+            out = os.path.join(root, f"state_v{batch_id}")
+            # every arrival joins the index (dups of dups are still dups)
+            prior.select("img_id", "arrival", "phash").write.mode(
+                "overwrite"
+            ).parquet(out)
+            holder["state"] = out
+            if prev_path is not None:
+                shutil.rmtree(prev_path, ignore_errors=True)
+        finally:
+            hashed.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

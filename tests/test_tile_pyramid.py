@@ -38,6 +38,10 @@ def test_pyramid_single_decode_pass(spark):
 
 
 def test_shard_pack_budget_and_order(spark):
+    import pandas as pd
+
+    from fs2_osm_spark.synth.staging import ensure_images_fixture
+
     pdf = img_shard_pack(spark, "unused").toPandas().sort_values("shard_id")
     assert pdf.n_images.sum() == N_FIXTURE_IMAGES
     # shards are contiguous id ranges: each shard's first id follows the
@@ -45,6 +49,10 @@ def test_shard_pack_budget_and_order(spark):
     lasts = pdf.last_id.tolist()
     firsts = pdf.first_id.tolist()
     assert all(lasts[i] < firsts[i + 1] for i in range(len(pdf) - 1))
-    # every shard except possibly the last crosses the budget boundary by at
-    # most one image: its bytes minus its final image must be < budget
-    assert (pdf.shard_bytes.iloc[:-1] >= SHARD_BUDGET * 0.5).all()
+    # a shard overflows its budget by at most its final image: every image
+    # in the shard STARTS inside the budget window, so shard_bytes minus
+    # the last image's size is < SHARD_BUDGET for every shard
+    sizes = pd.read_parquet(ensure_images_fixture(), columns=["image_id", "bytes"])
+    sz = {r.image_id: len(r.bytes) for r in sizes.itertuples()}
+    last_sz = pdf.last_id.map(sz)
+    assert ((pdf.shard_bytes - last_sz) < SHARD_BUDGET).all()
