@@ -433,3 +433,57 @@ def phash_band_pairs(
     return cand.where(
         F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= hamming_t
     ).select("id_a", "id_b")
+
+
+# --- deterministic augmentation ---------------------------------------------
+
+def center_crop(img: np.ndarray) -> np.ndarray:
+    """Centered half-size crop — the deterministic anchor of the
+    random-resized-crop family (a training run would jitter the window
+    per-sample; the fixed anchor is what a value oracle can pin)."""
+    h, w = img.shape[:2]
+    ch, cw = max(h // 2, 1), max(w // 2, 1)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    return img[y0 : y0 + ch, x0 : x0 + cw]
+
+
+AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("fl_phash", T.LongType(), False),
+        T.StructField("cr_phash", T.LongType(), False),
+        T.StructField("cr_mean_r", T.DoubleType(), False),
+        T.StructField("cr_mean_g", T.DoubleType(), False),
+        T.StructField("cr_mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def augment_stats(images: DataFrame) -> DataFrame:
+    """Deterministic augmentation pass (hflip + centered half crop) with
+    verification hashes/stats per image — one narrow mapInPandas, no
+    shuffle; the geometry ops are numpy views/slices (zero-copy) so the
+    per-image cost is the decode plus two aHashes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = decode_image(bytes(r.bytes), r.fmt)
+                crop = center_crop(img)
+                cm = crop.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                rows.append(
+                    (
+                        r.image_id,
+                        phash64(img[:, ::-1]),
+                        phash64(crop),
+                        float(cm[0]),
+                        float(cm[1]),
+                        float(cm[2]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUGMENT_SCHEMA])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, AUGMENT_SCHEMA
+    )

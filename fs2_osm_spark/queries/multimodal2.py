@@ -379,3 +379,84 @@ def stream_image_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ensure_phash_corpus(), n_batches=5,
         n_bands=PHASH_BANDS, hamming_t=PHASH_T,
     )
+
+
+# --- img_augment ------------------------------------------------------------
+
+def _augment_oracle() -> str:
+    return f"""
+    SELECT image_id,
+           fl_phash,
+           cr_phash,
+           round(cr_mean_r, 6) AS cr_mean_r,
+           round(cr_mean_g, 6) AS cr_mean_g,
+           round(cr_mean_b, 6) AS cr_mean_b
+    FROM read_parquet('{IMAGES_FIXTURE}')
+    """
+
+
+@register("img_augment", oracle=_augment_oracle())
+def img_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training augmentation (hflip + centered half crop)
+    verified per image: the live decode -> transform -> aHash64/stats pass
+    must reproduce the fixture's recorded ground truth exactly. The flip
+    hash pins spatial layout (a channels-only decoder would still pass
+    mean checks but not this); the crop hash + means pin the crop window
+    geometry. One narrow mapInPandas, zero-copy numpy views for both
+    transforms, no shuffle."""
+    from fs2_osm_spark.operators.multimodal import augment_stats
+
+    images = spark.read.parquet(ensure_images_fixture())
+    st = augment_stats(images)
+    return st.select(
+        "image_id",
+        "fl_phash",
+        "cr_phash",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("cr_mean_r", "cr_mean_g", "cr_mean_b")
+        ],
+    )
+
+
+# --- img_phash_multiprobe ---------------------------------------------------
+
+def _phash_multiprobe_oracle() -> str:
+    return f"""
+    WITH h AS MATERIALIZED (
+        SELECT img_id, phash FROM read_parquet('{PHASH_CORPUS}')
+    )
+    SELECT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_T}
+    """
+
+
+@register("img_phash_multiprobe", oracle=_phash_multiprobe_oracle())
+def img_phash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at t=6 through the SCALE-shaped index: 4 wide 16-bit
+    bands + 1-bit multiprobe ((1+1)*4 = 8 > 6 keeps the pigeonhole recall
+    guarantee) instead of the 8 narrow bands img_phash_neardup uses. Wide
+    keys are what a 10^12-image corpus needs — candidate volume scales with
+    n_bands * N^2 / 2^keywidth, so 16-bit keys cost 2^8x fewer candidates
+    than 8-bit ones, and the probe fan-out (17 rows/band) buys the recall
+    back. The oracle is brute force: every pair within hamming 6 from the
+    recorded hashes — so the blocked index must achieve EXACTLY full
+    recall at 1/256th the candidate volume."""
+    from fs2_osm_spark.operators.dedup import hamming_pairs, release_pins
+
+    corpus = spark.read.parquet(ensure_phash_corpus())
+    hashed = phash_frame(corpus).select(
+        F.col("img_id"), F.col("phash").alias("simhash")
+    )
+    out = (
+        hamming_pairs(
+            hashed, "img_id", max_distance=PHASH_T, n_bands=4, probe_bits=1
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .cache()
+    )
+    out.count()
+    release_pins()
+    return out

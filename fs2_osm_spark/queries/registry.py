@@ -59,6 +59,8 @@ PRIORITY: list[str] = [
     # (a) added or behavior-changed in round 7
     "img_phash_neardup",
     "stream_image_dedup",
+    "img_augment",
+    "img_phash_multiprobe",
     "img_tile_pyramid",
     "img_shard_pack",
     "img_cell_mosaic",

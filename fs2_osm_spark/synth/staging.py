@@ -87,6 +87,39 @@ def derived_image_columns(pdf) -> dict[str, object]:
     }
 
 
+def augment_image_columns(pdf) -> dict[str, np.ndarray]:
+    """Ground truth for the img_augment oracle (r07), recorded with the
+    SAME kernels the query runs (operators/multimodal.augment_stats):
+
+    - fl_phash: aHash64 of the horizontally flipped decode. The flip
+      permutes hash-block columns, so a decoder or hasher that ignores
+      spatial layout (returning e.g. the unflipped hash) diverges loudly.
+    - cr_phash + cr_mean_r/g/b: aHash64 and channel means of the centered
+      half-size crop (the random-resized-crop family's deterministic
+      anchor) — crops change the pixel population, so these pin real
+      geometry, unlike flip means which are trivially invariant.
+    """
+    from fs2_osm_spark.codecs.png import decode_image, phash64
+    from fs2_osm_spark.operators.multimodal import center_crop
+
+    fl_phash = np.empty(len(pdf), np.int64)
+    cr_phash = np.empty(len(pdf), np.int64)
+    cr_means = np.empty((len(pdf), 3))
+    for k, r in enumerate(pdf.itertuples()):
+        img = decode_image(bytes(r.bytes), r.fmt)
+        fl_phash[k] = phash64(img[:, ::-1])
+        crop = center_crop(img)
+        cr_phash[k] = phash64(crop)
+        cr_means[k] = crop.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    return {
+        "fl_phash": fl_phash,
+        "cr_phash": cr_phash,
+        "cr_mean_r": cr_means[:, 0],
+        "cr_mean_g": cr_means[:, 1],
+        "cr_mean_b": cr_means[:, 2],
+    }
+
+
 OSM_FIXTURE_DIR = os.path.join(_REPO_ROOT, "fixtures", "osm_256")
 OSM_FIXTURE_ZONES = 256
 
@@ -243,6 +276,8 @@ def ensure_images_fixture() -> str:
         for name, vals in decoded_stats_columns(pdf).items():
             pdf[name] = vals
         for name, vals in derived_image_columns(pdf).items():
+            pdf[name] = vals
+        for name, vals in augment_image_columns(pdf).items():
             pdf[name] = vals
         os.makedirs(os.path.dirname(IMAGES_FIXTURE), exist_ok=True)
         tmp = IMAGES_FIXTURE + ".tmp"

@@ -190,6 +190,7 @@ def test_images_fixture_decoded_stats_match_decoder():
     import pyarrow.parquet as pq
 
     from fs2_osm_spark.synth.staging import (
+        augment_image_columns,
         decoded_stats_columns,
         derived_image_columns,
         ensure_images_fixture,
@@ -203,6 +204,8 @@ def test_images_fixture_decoded_stats_match_decoder():
     derived = derived_image_columns(sample)
     for name in ("rs_mean_r", "rs_mean_g", "rs_mean_b", "rs_phash"):
         assert (derived[name] == sample[name].to_numpy()).all(), name
+    for name, vals in augment_image_columns(sample).items():
+        assert (vals == sample[name].to_numpy()).all(), name
     got_psnr = pd.Series(derived["rt_psnr"], index=sample.index, dtype="float64")
     assert got_psnr.isna().equals(sample["rt_psnr"].isna())
     assert (got_psnr.dropna() == sample["rt_psnr"].dropna()).all()

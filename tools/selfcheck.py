@@ -64,6 +64,7 @@ def main() -> int:
             "osm_apply_diff",
             "img_shard_pack",
             "img_phash_neardup",
+            "img_phash_multiprobe",
         ):
             # these queries cache small frames their lazily-consumed result
             # depends on; once the CLI has collected, drop them
