@@ -95,3 +95,19 @@ def test_neardup_table_matches_batch(spark):
     assert out.img_id.tolist() == ref.img_id.tolist()
     assert out.phash.tolist() == ref.phash.tolist()
     assert all(bytes(a) == bytes(b) for a, b in zip(out["bytes"], ref["bytes"]))
+
+
+def test_image_queries_arrow_conf_independent(spark):
+    """Registered queries run under the DRIVER'S session, where
+    arrow.pyspark.enabled defaults FALSE (the r05 lineage lesson) — pin the
+    newest mapInPandas path under an arrow-off session."""
+    conf = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        from fs2_osm_spark.queries.multimodal2 import img_augment
+
+        out = img_augment(spark, "unused").toPandas()
+        assert len(out) == 2_000
+    finally:
+        spark.conf.set(conf, prev)
