@@ -460,3 +460,103 @@ def img_phash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     release_pins()
     return out
+
+
+# --- img_text_retrieval -----------------------------------------------------
+
+RETRIEVAL_N_IMG = 32  # image-side query set
+RETRIEVAL_TOP_K = 3
+_RETRIEVAL_MAX_ID = f"img_{RETRIEVAL_N_IMG:012d}"  # ids are zero-padded
+
+
+def _img_embed_terms_sql() -> str:
+    """The 64 image-embedding features in DuckDB SQL — bit j of the stored
+    phash gives the sign, the decoded channel mean (j mod 3) scales the
+    magnitude. Formula-identical to the Column construction below."""
+    chans = ("dec_mean_r", "dec_mean_g", "dec_mean_b")
+    terms = [
+        f"CAST(((phash >> {j}) & 1) * 2 - 1 AS DOUBLE)"
+        f" * (1.0 + {chans[j % 3]} / 255.0)"
+        for j in range(64)
+    ]
+    return ",\n               ".join(terms)
+
+
+def _img_text_retrieval_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT image_id,
+               [{_img_embed_terms_sql()}] AS qv
+        FROM read_parquet('{IMAGES_FIXTURE}')
+        WHERE image_id < '{_RETRIEVAL_MAX_ID}'
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.image_id, e.vec_id,
+               list_dot_product(q.qv, e.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(e.v, e.v))) AS cos
+        FROM q JOIN e ON true
+    )
+    SELECT image_id, rank, vec_id FROM (
+        SELECT image_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY image_id
+                    ORDER BY round(cos, 7) DESC, vec_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {RETRIEVAL_TOP_K}
+    """
+
+
+@register("img_text_retrieval", oracle=_img_text_retrieval_oracle())
+def img_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval (the CLIP-shape): decode each query image,
+    derive a 64-d embedding in the text-embedding space (phash bit signs x
+    live decoded channel-mean magnitudes — a deterministic stand-in for a
+    learned joint encoder; the Spark-side plumbing is the real thing:
+    decode -> embed -> broadcast the small query side -> JVM higher-order
+    cosine against the full embedding corpus -> windowed top-k). Float
+    discipline follows sim_cosine_topk: scores are ranked on round(cos, 7)
+    with the id tie-break and excluded from the output."""
+    from fs2_osm_spark.io import load
+
+    images = spark.read.parquet(ensure_images_fixture()).where(
+        F.col("image_id") < _RETRIEVAL_MAX_ID
+    )
+    means = decode_stats(images).select("image_id", "mean_r", "mean_g", "mean_b")
+    chans = ("mean_r", "mean_g", "mean_b")
+    feats = [
+        (
+            (F.shiftright(F.col("phash"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            .cast("double")
+            * (F.lit(1.0) + F.col(chans[j % 3]) / 255.0)
+        )
+        for j in range(64)
+    ]
+    queries = (
+        images.select("image_id", "phash")
+        .join(means, "image_id")
+        .select("image_id", F.array(*feats).alias("qv"))
+    )
+    corpus = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qv, v = F.col("qv"), F.col("embedding")
+    scored = F.broadcast(queries).crossJoin(corpus).select(
+        "image_id",
+        "vec_id",
+        (dot(qv, v) / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(v, v)))).alias("cos"),
+    )
+    w = Window.partitionBy("image_id").orderBy(
+        F.round(F.col("cos"), 7).desc(), F.col("vec_id")
+    )
+    return scored.select(
+        "image_id",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "vec_id",
+    ).where(F.col("rank") <= RETRIEVAL_TOP_K)

@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "stream_image_dedup",
     "img_augment",
     "img_phash_multiprobe",
+    "img_text_retrieval",
     "img_tile_pyramid",
     "img_shard_pack",
     "img_cell_mosaic",
