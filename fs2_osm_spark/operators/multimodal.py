@@ -487,3 +487,45 @@ def augment_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, AUGMENT_SCHEMA
     )
+
+
+# --- video scene-cut detection ----------------------------------------------
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("diff_abs_sum", T.LongType(), False),
+        T.StructField("is_cut", T.BooleanType(), False),
+    ]
+)
+
+
+def scene_cut_stats(media: DataFrame, threshold_per_px: int) -> DataFrame:
+    """Temporal segmentation of real AVI clips: decode every frame through
+    the container index, emit the sum of absolute per-channel differences
+    between consecutive frames (EXACT BIGINT — uint8 pixels, no floats
+    anywhere) and the cut flag at threshold_per_px * n_pixel_channels.
+    One narrow mapInPandas; a clip's frames never leave their worker."""
+    from fs2_osm_spark.synth.video import decode_avi_frame, read_avi_index
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                raw = bytes(r.bytes)
+                movi, entries = read_avi_index(raw)
+                prev = None
+                for i, (off, size) in enumerate(entries):
+                    img = decode_avi_frame(raw, off, size).astype(np.int64)
+                    if prev is not None:
+                        d = int(np.abs(img - prev).sum())
+                        rows.append(
+                            (r.media_id, i, d, d > threshold_per_px * img.size)
+                        )
+                    prev = img
+            yield pd.DataFrame(rows, columns=[f.name for f in SCENE_CUT_SCHEMA])
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(
+        fn, SCENE_CUT_SCHEMA
+    )

@@ -560,3 +560,67 @@ def img_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("rank"),
         "vec_id",
     ).where(F.col("rank") <= RETRIEVAL_TOP_K)
+
+
+# --- video_scene_cuts -------------------------------------------------------
+
+N_SCENE_VIDEOS = 60
+SCENE_VIDEO_FRAMES = 12
+CUT_THRESHOLD_PER_PX = 10  # x (h*w*3): within-scene ~2.6, cuts ~44
+
+
+def _scene_cuts_oracle() -> str:
+    """Ground truth from the RAW synthesis arrays (before PNG/AVI ever
+    exist): the decode path must reproduce the original pixels exactly for
+    the integer diff sums to match."""
+    import numpy as np
+
+    from fs2_osm_spark.synth.video import scene_frames
+
+    rows = []
+    for m in range(N_SCENE_VIDEOS):
+        frames = scene_frames(m, SCENE_VIDEO_FRAMES)
+        for i in range(1, SCENE_VIDEO_FRAMES):
+            d = int(
+                np.abs(
+                    frames[i].astype(np.int64) - frames[i - 1].astype(np.int64)
+                ).sum()
+            )
+            cut = d > CUT_THRESHOLD_PER_PX * frames[i].size
+            rows.append(
+                f"('scn_{m:06d}', CAST({i} AS BIGINT), CAST({d} AS BIGINT),"
+                f" {'true' if cut else 'false'})"
+            )
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+        {values}
+    ) AS t(media_id, frame_idx, diff_abs_sum, is_cut)
+    """
+
+
+@register("video_scene_cuts", oracle=_scene_cuts_oracle())
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video segmentation: 60 scene-structured clips as REAL AVI
+    containers, every frame decoded through the idx1 index, consecutive
+    frames differenced as exact BIGINT |d| sums, cuts flagged at a fixed
+    per-pixel threshold (within-scene jitter ~2.6/px vs scene boundary
+    ~44/px — an order of magnitude apart, so the flag is deterministic).
+    Hard-oracled against diffs computed from the raw synthesis arrays
+    before any encoding existed — a lossy or misaligned container/codec
+    path shifts the integer sums and breaks the hash."""
+    import pandas as pd
+
+    from fs2_osm_spark.operators.multimodal import scene_cut_stats
+    from fs2_osm_spark.synth.video import make_scene_video
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (f"scn_{m:06d}", make_scene_video(m, SCENE_VIDEO_FRAMES), "avi")
+                for m in range(N_SCENE_VIDEOS)
+            ],
+            columns=["media_id", "bytes", "fmt"],
+        )
+    )
+    return scene_cut_stats(media, CUT_THRESHOLD_PER_PX)

@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "img_augment",
     "img_phash_multiprobe",
     "img_text_retrieval",
+    "video_scene_cuts",
     "img_tile_pyramid",
     "img_shard_pack",
     "img_cell_mosaic",

@@ -129,3 +129,58 @@ def make_video(media_id: int, n_frames: int = 16, w: int = 16, h: int = 12) -> b
         rng = np.random.default_rng(media_id * 1000 + i)
         frames.append(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
     return encode_avi_mpng(frames)
+
+
+SCENE_NOISE = 8  # within-scene per-frame jitter amplitude
+SCENE_LO, SCENE_HI = 64, 192  # scene base-color band
+
+
+def scene_lengths(media_id: int, n_frames: int) -> list[int]:
+    """Deterministic scene segmentation of a clip: lengths drawn 2..5 from
+    the clip's seeded stream until n_frames are covered."""
+    rng = np.random.default_rng(900_000_017 + media_id)
+    lens: list[int] = []
+    total = 0
+    while total < n_frames:
+        ln = int(rng.integers(2, 6))
+        ln = min(ln, n_frames - total)
+        lens.append(ln)
+        total += ln
+    return lens
+
+
+def scene_frames(media_id: int, n_frames: int, w: int = 16, h: int = 12) -> list[np.ndarray]:
+    """Scene-structured raw frames: each scene holds a seeded base image
+    (values in the SCENE_LO..SCENE_HI band); frames add small per-frame
+    noise. Adjacent frames within a scene differ by ~SCENE_NOISE/2 per
+    channel; across a scene boundary by ~(HI-LO)/3 — an order of magnitude
+    apart, so a fixed threshold separates them deterministically."""
+    frames = []
+    scene = -1
+    base = None
+    idx_in_scene = 0
+    lens = scene_lengths(media_id, n_frames)
+    bounds = []
+    pos = 0
+    for ln in lens:
+        bounds.append(pos)
+        pos += ln
+    for i in range(n_frames):
+        if bounds and i == bounds[0]:
+            bounds.pop(0)
+            scene += 1
+            srng = np.random.default_rng(
+                (900_000_017 + media_id) * 1_009 + scene
+            )
+            base = srng.integers(SCENE_LO, SCENE_HI, size=(h, w, 3))
+        frng = np.random.default_rng(
+            (900_000_017 + media_id) * 1_000_003 + i
+        )
+        noise = frng.integers(0, SCENE_NOISE, size=(h, w, 3))
+        frames.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+    return frames
+
+
+def make_scene_video(media_id: int, n_frames: int, w: int = 16, h: int = 12) -> bytes:
+    """Scene-structured clip as a real AVI (same container as make_video)."""
+    return encode_avi_mpng(scene_frames(media_id, n_frames, w, h))

@@ -56,3 +56,28 @@ def test_shard_pack_budget_and_order(spark):
     sz = {r.image_id: len(r.bytes) for r in sizes.itertuples()}
     last_sz = pdf.last_id.map(sz)
     assert ((pdf.shard_bytes - last_sz) < SHARD_BUDGET).all()
+
+
+def test_scene_cuts_match_construction(spark):
+    """Detected cuts must be exactly the scene boundaries the generator
+    drew (positions where a new scene base was sampled)."""
+    from fs2_osm_spark.queries.multimodal2 import (
+        N_SCENE_VIDEOS,
+        SCENE_VIDEO_FRAMES,
+        video_scene_cuts,
+    )
+    from fs2_osm_spark.synth.video import scene_lengths
+
+    out = video_scene_cuts(spark, "unused").toPandas()
+    assert len(out) == N_SCENE_VIDEOS * (SCENE_VIDEO_FRAMES - 1)
+    for m in range(0, N_SCENE_VIDEOS, 7):
+        lens = scene_lengths(m, SCENE_VIDEO_FRAMES)
+        bounds = set()
+        pos = 0
+        for ln in lens[:-1]:
+            pos += ln
+            bounds.add(pos)
+        got = set(
+            out[(out.media_id == f"scn_{m:06d}") & out.is_cut].frame_idx.tolist()
+        )
+        assert got == bounds, (m, got, bounds)
