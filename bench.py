@@ -385,12 +385,11 @@ def main() -> None:
         nd_clusters_rows = timed("img_phash_dedup_100k", nd_run)
         assert nd_clusters_rows >= 80_000, nd_clusters_rows
 
-        # tile pyramid at 250k real-byte images: one decode pass -> z12
-        # partial agg -> explode-to-ancestors rollup (the registered
-        # img_tile_pyramid plan shape, staged corpus instead of the
-        # 2k-image fixture)
-        from fs2_osm_spark.functions.geo import tile_xyz
-        from fs2_osm_spark.operators.multimodal import decode_stats, geotag
+        # tile pyramid at 250k real-byte images: the EXACT registered plan
+        # (queries/multimodal2.pyramid_rollup — one decode pass, z12
+        # partial agg, explode-to-ancestors rollup) over a staged corpus
+        # instead of the 2k-image fixture
+        from fs2_osm_spark.queries.multimodal2 import pyramid_rollup
         from fs2_osm_spark.synth.images import images_table
 
         pyr_path = os.path.join(CACHE_DIR, "images_pyramid_250k.parquet")
@@ -399,43 +398,10 @@ def main() -> None:
                 "overwrite"
             ).parquet(pyr_path)
 
-        def pyramid_run() -> int:
-            imgs = spark.read.parquet(pyr_path)
-            st = decode_stats(imgs).select(
-                "image_id",
-                F.floor(
-                    (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
-                    * 1e6 + 0.5
-                ).alias("luma_micro"),
-            )
-            pts = geotag(imgs).select("image_id", "lon", "lat")
-            x12, y12 = tile_xyz(F.col("lon"), F.col("lat"), 12)
-            base = (
-                pts.join(st, "image_id")
-                .select(x12.alias("x12"), y12.alias("y12"), "luma_micro")
-                .groupBy("x12", "y12")
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("luma_micro").alias("s"))
-            )
-            levels = F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(z).cast("bigint").alias("z"),
-                            F.expr(f"x12 div {1 << (12 - z)}").alias("x"),
-                            F.expr(f"y12 div {1 << (12 - z)}").alias("y"),
-                        )
-                        for z in (12, 10, 8)
-                    ]
-                )
-            )
-            return (
-                base.select(levels.alias("zxy"), "n", "s")
-                .groupBy("zxy.z", "zxy.x", "zxy.y")
-                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-                .count()
-            )
-
-        pyr_tiles = timed("img_tile_pyramid_250k", pyramid_run)
+        pyr_tiles = timed(
+            "img_tile_pyramid_250k",
+            lambda: pyramid_rollup(spark.read.parquet(pyr_path)).count(),
+        )
         assert pyr_tiles > 0, pyr_tiles
 
         # full PBF lifecycle: synthesize frames -> wire decode -> export

@@ -173,17 +173,15 @@ def _tile_pyramid_oracle() -> str:
     """
 
 
-@register("img_tile_pyramid", oracle=_tile_pyramid_oracle())
-def img_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-zoom map-tile rollup of decoded image stats (z12 -> z10 -> z8):
-    ONE live decode pass + ONE shuffle at the finest zoom; the coarser
-    levels aggregate the (orders-of-magnitude smaller) z12 partials by
-    integer-dividing the tile indices — the hypertable-rollup shape that
-    keeps a 100 TB pyramid build from re-scanning pixels per level. The
-    oracle recomputes every level directly from the raw points, proving
-    partial-rollup == direct aggregation (exact: counts and micro-quantized
-    luma sums are all BIGINT)."""
-    images = spark.read.parquet(ensure_images_fixture())
+def pyramid_rollup(images: DataFrame) -> DataFrame:
+    """THE tile-pyramid plan — the single definition shared by the oracled
+    query, bench.py's 250k timing, and tools/pyramid_scaling.py, so the
+    measured plan can never drift from the verified one. ONE live decode
+    pass + ONE shuffle at the finest zoom; each z12 partial explodes into
+    its (z, x div k, y div k) ancestors and a single groupBy aggregates
+    the whole pyramid. (A per-level unionByName would replan — and
+    re-decode — the base subtree once per level: measured 3 MapInPandas
+    nodes.)"""
     st = _luma_micro_stats(images)
     pts = geotag(images).select("image_id", "lon", "lat")
     x12, y12 = tile_xyz(F.col("lon"), F.col("lat"), 12)
@@ -196,10 +194,6 @@ def img_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("luma_micro").alias("sum_luma_micro"),
         )
     )
-    # ONE plan lineage for all three zooms: each z12 partial explodes into
-    # its (z, x>>k, y>>k) ancestors and a single groupBy aggregates the
-    # whole pyramid. (A per-level unionByName would replan — and re-decode —
-    # the base subtree once per level: measured 3 MapInPandas nodes.)
     levels = F.explode(
         F.array(
             *[
@@ -224,6 +218,17 @@ def img_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_luma_micro div n_images").alias("mean_luma_micro"),
         )
     )
+
+
+@register("img_tile_pyramid", oracle=_tile_pyramid_oracle())
+def img_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom map-tile rollup of decoded image stats (z12 -> z10 -> z8)
+    — the hypertable-rollup shape that keeps a 100 TB pyramid build from
+    re-scanning pixels per level. The oracle recomputes every level
+    directly from the raw points, proving partial-rollup == direct
+    aggregation (exact: counts and micro-quantized luma sums are all
+    BIGINT)."""
+    return pyramid_rollup(spark.read.parquet(ensure_images_fixture()))
 
 
 # --- img_shard_pack ---------------------------------------------------------
@@ -539,18 +544,15 @@ def img_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # the parity-critical left-fold cosine — ONE definition shared with
+    # sim_cosine_topk (its sequential fold is what matches DuckDB's
+    # list_dot_product IEEE-exactly)
+    from fs2_osm_spark.queries.similarity import _cosine
 
-    qv, v = F.col("qv"), F.col("embedding")
     scored = F.broadcast(queries).crossJoin(corpus).select(
         "image_id",
         "vec_id",
-        (dot(qv, v) / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(v, v)))).alias("cos"),
+        _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
     )
     w = Window.partitionBy("image_id").orderBy(
         F.round(F.col("cos"), 7).desc(), F.col("vec_id")

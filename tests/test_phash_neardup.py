@@ -99,15 +99,28 @@ def test_neardup_table_matches_batch(spark):
 
 def test_image_queries_arrow_conf_independent(spark):
     """Registered queries run under the DRIVER'S session, where
-    arrow.pyspark.enabled defaults FALSE (the r05 lineage lesson) — pin the
-    newest mapInPandas path under an arrow-off session."""
+    arrow.pyspark.enabled defaults FALSE (the r05 lineage lesson) — pin
+    every new round-7 driver-side shape under an arrow-off session:
+    the mapInPandas pixel pass (img_augment), the
+    spark.createDataFrame(pd.DataFrame(binary...)) clip construction
+    (video_scene_cuts — the exact r05 failure shape), and the broadcast
+    HOF-cosine retrieval (img_text_retrieval)."""
     conf = "spark.sql.execution.arrow.pyspark.enabled"
     prev = spark.conf.get(conf)
     try:
         spark.conf.set(conf, "false")
-        from fs2_osm_spark.queries.multimodal2 import img_augment
+        from fs2_osm_spark.queries.multimodal2 import (
+            N_SCENE_VIDEOS,
+            SCENE_VIDEO_FRAMES,
+            img_augment,
+            img_text_retrieval,
+            video_scene_cuts,
+        )
 
-        out = img_augment(spark, "unused").toPandas()
-        assert len(out) == 2_000
+        assert len(img_augment(spark, "unused").toPandas()) == 2_000
+        cuts = video_scene_cuts(spark, "unused").toPandas()
+        assert len(cuts) == N_SCENE_VIDEOS * (SCENE_VIDEO_FRAMES - 1)
+        ret = img_text_retrieval(spark, "/root/testdata/sf0.001").toPandas()
+        assert len(ret) > 0
     finally:
         spark.conf.set(conf, prev)

@@ -23,12 +23,10 @@ sys.path.insert(0, REPO)
 
 CORPUS = os.path.join(REPO, "BENCH", "cache", "images_pyramid_250k.parquet")
 N_IMAGES = 250_000
-ZOOMS = (12, 10, 8)
 
 
 def run_level(cores: int) -> tuple[float, int]:
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -42,8 +40,7 @@ def run_level(cores: int) -> tuple[float, int]:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from fs2_osm_spark.functions.geo import tile_xyz
-    from fs2_osm_spark.operators.multimodal import decode_stats, geotag
+    from fs2_osm_spark.queries.multimodal2 import pyramid_rollup
     from fs2_osm_spark.synth.images import images_table
 
     if not os.path.exists(CORPUS):
@@ -51,46 +48,11 @@ def run_level(cores: int) -> tuple[float, int]:
             "overwrite"
         ).parquet(CORPUS)
 
-    def pyramid() -> int:
-        imgs = spark.read.parquet(CORPUS)
-        st = decode_stats(imgs).select(
-            "image_id",
-            F.floor(
-                (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
-                * 1e6 + 0.5
-            ).alias("luma_micro"),
-        )
-        pts = geotag(imgs).select("image_id", "lon", "lat")
-        x12, y12 = tile_xyz(F.col("lon"), F.col("lat"), 12)
-        base = (
-            pts.join(st, "image_id")
-            .select(x12.alias("x12"), y12.alias("y12"), "luma_micro")
-            .groupBy("x12", "y12")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("luma_micro").alias("s"))
-        )
-        levels = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(z).cast("bigint").alias("z"),
-                        F.expr(f"x12 div {1 << (12 - z)}").alias("x"),
-                        F.expr(f"y12 div {1 << (12 - z)}").alias("y"),
-                    )
-                    for z in ZOOMS
-                ]
-            )
-        )
-        return (
-            base.select(levels.alias("zxy"), "n", "s")
-            .groupBy("zxy.z", "zxy.x", "zxy.y")
-            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-            .count()
-        )
-
     best, tiles = None, 0
     for _ in range(3):
         t0 = time.time()
-        tiles = pyramid()
+        # the EXACT registered plan (oracled as img_tile_pyramid)
+        tiles = pyramid_rollup(spark.read.parquet(CORPUS)).count()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
     return best, tiles
