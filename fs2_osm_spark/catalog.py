@@ -149,3 +149,38 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return READERS[_format](spark, path)
+
+
+# last durable result table per query key written by THIS process; the
+# superseded tree is deleted on the next swap so disk stays bounded (the
+# stream_cdc_state _CDC_STATE convention, shared by every query that
+# returns a materialized result)
+_DURABLE_RESULTS: dict[str, str] = {}
+
+
+def swap_durable_result(
+    df: DataFrame, key: str, prefix: str = "fs2_osm_result_"
+) -> DataFrame:
+    """Materialize ``df`` through the table-format boundary into a fresh
+    per-run directory and return a plain read of the durable table.
+
+    This is the eviction-proof alternative to ``cache()+count()`` (a cached
+    result can be dropped under memory pressure and silently recomputed
+    through upstream state — e.g. released plan pins or a re-sampled range
+    partitioner — after the fact) and to ``toPandas()`` round-trips (a
+    driver-side collect of data-cardinality results, the 100x-scale
+    killer). The directory is unique per call (mkdtemp), so concurrent
+    processes never clobber each other; within one process the PREVIOUS
+    run's tree for the same key is deleted — only the latest returned
+    DataFrame for a key stays readable, exactly the _CDC_STATE contract.
+    """
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    write_table(df, path)
+    prev = _DURABLE_RESULTS.get(key)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    _DURABLE_RESULTS[key] = path
+    return read_table(df.sparkSession, path)

@@ -22,6 +22,7 @@ Spark-first re-expression:
 from __future__ import annotations
 
 import os
+import time
 
 from fs2_osm_spark.catalog import read_table, write_table
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,7 @@ def run_export(
     sink_parallelism: int = 8,
     relations_nodes: DataFrame | None = None,
     relations_relations: DataFrame | None = None,
+    phase_timings: dict[str, float] | None = None,
 ) -> dict[str, int]:
     """Load raw tables, then run the feature catalog. Returns the Summary:
     table name -> rows written.
@@ -60,15 +62,19 @@ def run_export(
     before the pool starts, so concurrent consumers hit the cache instead
     of racing to recompute the assembly/stitch lineage per feature."""
     summary: dict[str, int] = {}
+    tm = phase_timings if phase_timings is not None else {}
 
     def sink(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(output_root, name)
+        t0 = time.time()
         write_table(df, path)
         out = read_table(spark, path)
         summary[name] = out.count()
+        tm[f"sink_{name}"] = round(time.time() - t0, 3)
         return out
 
     # ---- Phase A: raw tables (the importer fan-out) ----
+    t_a = time.time()
     nodes_t = sink(nodes, "nodes")
     ways_t = sink(ways, "ways")
     rels_t = sink(relations, "relations")
@@ -122,16 +128,21 @@ def run_export(
     else:
         for n, df in member_tables.items():
             sink(df, n)
+    tm["phase_a_total"] = round(time.time() - t_a, 3)
 
     # ---- Phase B: feature passes (after the barrier) ----
+    t_b = time.time()
     lines = build_osm_lines(ways_t, nodes_t).cache()
     lines.count()  # materialize before concurrent consumers
+    tm["phase_b_lines"] = round(time.time() - t_b, 3)
     rw_t = read_table(spark, os.path.join(output_root, "relations_ways"))
     # feature passes each filter the UN-whitelisted closed-way ∪ multipolygon
     # union with their own predicate, like the reference's per-feature SQL;
     # cache it or every polygon feature re-runs the stitch applyInPandas
+    t_p = time.time()
     polys = all_polygons(lines, rels_t, rw_t).cache()
     polys.count()
+    tm["phase_b_polys"] = round(time.time() - t_p, 3)
     # the `polygons` table is way-sourced only (PolygonFeature.scala:30-32:
     # combineWays is commented out), with the exact taggedPolygons whitelist
     phase_b: dict[str, DataFrame] = {
@@ -156,4 +167,5 @@ def run_export(
         # a failed sink must not leak the Phase-B caches for the session
         lines.unpersist()
         polys.unpersist()
+    tm["phase_b_total"] = round(time.time() - t_b, 3)
     return summary

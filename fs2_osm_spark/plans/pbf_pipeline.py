@@ -20,6 +20,7 @@ filtered to way members, exactly the reference's RelationImporter split
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +106,7 @@ def run_pbf_pipeline(
     n_images: int = 2_000,
     n_batches: int = 8,
     fail_after: int | None = None,
+    phase_timings: dict[str, float] | None = None,
 ) -> dict:
     """The full lifecycle. Returns {"summary": export Summary dict,
     "batches": batches processed this invocation}.
@@ -118,14 +120,19 @@ def run_pbf_pipeline(
     from fs2_osm_spark.plans.lineage import run_batched
     from fs2_osm_spark.synth.images import images_table
 
+    tm = phase_timings if phase_timings is not None else {}
+    t0 = time.time()
     t = frame_tables(spark, pbf_dir)
     summary = run_export(
         spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
         os.path.join(output_root, "export"),
         relations_nodes=t["relations_nodes"],
         relations_relations=t["relations_relations"],
+        phase_timings=tm,
     )
+    tm["export_total"] = round(time.time() - t0, 3)
 
+    t1 = time.time()
     polygons = feature_polygons(
         t["ways"], t["nodes"], t["relations"], t["relations_ways"]
     ).select("polygon_id", "outer", "inners")
@@ -149,4 +156,5 @@ def run_pbf_pipeline(
         )
     finally:
         batched.unpersist()
+    tm["flagship_batched"] = round(time.time() - t1, 3)
     return {"summary": summary, "batches": n}

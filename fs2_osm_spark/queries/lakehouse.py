@@ -104,7 +104,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from fs2_osm_spark.catalog import read_table, write_table
+    from fs2_osm_spark.catalog import read_table, swap_durable_result, write_table
 
     events = load(spark, sf_dir, "events")
     # match the column's own timestamp flavor (events.ts is TIMESTAMP_NTZ)
@@ -142,9 +142,10 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_value"),
             )
         )
-        pdf = refreshed.toPandas()
+        # durable-table swap (NOT toPandas: the refreshed MV is
+        # user-cardinality — unbounded at scale — so it must land
+        # distributed; the returned plan is a plain scan of the new MV)
+        out = swap_durable_result(refreshed, "mv_incremental_refresh")
     finally:
         shutil.rmtree(mv_path, ignore_errors=True)
-    return spark.createDataFrame(
-        pdf, "user_id long, n_events long, total_value double"
-    )
+    return out

@@ -262,8 +262,14 @@ def img_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. The naive formulation is a single-task global window; this runs
     the distributed exclusive prefix sum (range shuffle + two narrow
     passes — the machinery sequence packing uses), so shard assignment
-    parallelizes at any corpus size. Cached + materialized before
-    release_pins() for the same reason text_global_shuffle is."""
+    parallelizes at any corpus size. The manifest is materialized through
+    the durable-table swap BEFORE release_pins(): r07 used cache()+count(),
+    and a cached result evicted after the pins are released recomputes
+    through a RE-SAMPLED repartitionByRange against the stale broadcast
+    offset map — the nondeterminism window behind the CORRECTNESS_r07 hash
+    mismatch. The returned plan is a plain scan of the written table, so a
+    late re-execution can never reach the prefix-sum machinery."""
+    from fs2_osm_spark.catalog import swap_durable_result
     from fs2_osm_spark.operators.packing import (
         distributed_prefix_sum,
         release_pins,
@@ -282,8 +288,7 @@ def img_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("image_id").alias("last_id"),
         )
     )
-    out = manifest.cache()
-    out.count()
+    out = swap_durable_result(manifest, "img_shard_pack")
     release_pins()
     return out
 

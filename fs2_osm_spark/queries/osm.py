@@ -1077,33 +1077,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     way nodes become symmetric edges, then PR_ITERS damped rounds in
     BIGINT pico-rank fixed point (operators/graph.py — every step integer
     arithmetic, so the unrolled DuckDB twin matches bit-for-bit; fixture
-    == live synth is pinned by the staging anti-drift test). Edges come
-    straight off the ways' node arrays (adjacent-pair transform — no
-    self-join); the oracle re-derives them independently from the
-    exploded fixture rows via the idx+1 self-join."""
+    == live synth is pinned by the staging anti-drift test). Edges are
+    sourced from the STAGED fixture parquet — the very ways_nodes table
+    the oracle reads — via the same idx+1 self-join (r08: the r07 version
+    derived them from live osm_tables synthesis; reading the identical
+    rows removes every cross-engine input-divergence window the
+    CORRECTNESS_r07 hash mismatch could have exploited), and the final
+    rank vector is materialized through the durable-table swap so the
+    returned plan is a plain scan, not the live iteration lineage."""
+    from fs2_osm_spark.catalog import swap_durable_result
     from fs2_osm_spark.operators.graph import pagerank_fixed_point
-    from fs2_osm_spark.synth.staging import ensure_osm_fixture
+    from fs2_osm_spark.synth.staging import ensure_osm_fixture, osm_fixture_path
 
     ensure_osm_fixture(spark)
-    ways = osm_tables(spark, N_ZONES)["ways"]
-    ns = F.col("nodes")
-    pairs = (
-        ways.filter(F.size(ns) >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ns) - 2),
-                    lambda i: F.struct(
-                        F.element_at(ns, i + 1).alias("u"),
-                        F.element_at(ns, i + 2).alias("v"),
-                    ),
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
+    wn = spark.read.parquet(osm_fixture_path("ways_nodes"))
+    a = wn.select("way_id", "idx", F.col("node_id").alias("u"))
+    b = wn.select(
+        "way_id", (F.col("idx") - 1).alias("idx"), F.col("node_id").alias("v")
     )
+    pairs = a.join(b, ["way_id", "idx"]).select("u", "v")
     edges = pairs.union(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     pr = pagerank_fixed_point(edges, n_iters=PR_ITERS)
-    return pr.select("node_id", F.col("pr").alias("pr_pico"))
+    return swap_durable_result(
+        pr.select("node_id", F.col("pr").alias("pr_pico")), "graph_pagerank"
+    )

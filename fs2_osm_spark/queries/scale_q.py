@@ -128,6 +128,7 @@ def part_hilbert_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from fs2_osm_spark.catalog import swap_durable_result
     from fs2_osm_spark.functions.geo import synth_lat, synth_lon
     from fs2_osm_spark.operators.partitioning import (
         read_hilbert_bucket_range,
@@ -146,13 +147,18 @@ def part_hilbert_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             pts, path, "lon", "lat", _HILBERT_ORDER, ["point_id"],
             bucket_div=_HB_DIV,
         )
-        # materialize before removing the staged layout the plan reads from
-        # (the pruned-scan PLAN shape — PartitionFilters, shrunken
-        # inputFiles — is pinned by tests/test_scale_operators.py on the
-        # operator itself)
-        pdf = read_hilbert_bucket_range(spark, path, _HB_LO, _HB_HI).select(
-            "point_id", F.col("h_bucket").cast("bigint").alias("h_bucket")
-        ).toPandas()
+        # materialize the pruned slice DISTRIBUTED (durable-table swap, the
+        # stream_cdc_state pattern) before removing the staged layout the
+        # plan reads from — r07 round-tripped it through toPandas(), a
+        # driver-side collect of a data-cardinality result. The pruned-scan
+        # PLAN shape — PartitionFilters, shrunken inputFiles — stays pinned
+        # by tests/test_scale_operators.py on the operator itself.
+        out = swap_durable_result(
+            read_hilbert_bucket_range(spark, path, _HB_LO, _HB_HI).select(
+                "point_id", F.col("h_bucket").cast("bigint").alias("h_bucket")
+            ),
+            "part_hilbert_pruned_scan",
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(pdf, "point_id long, h_bucket long")
+    return out
