@@ -43,7 +43,7 @@ def run_export(
     relations: DataFrame,
     relations_ways: DataFrame,
     output_root: str,
-    sink_parallelism: int = 8,
+    sink_parallelism: int = 16,
     relations_nodes: DataFrame | None = None,
     relations_relations: DataFrame | None = None,
     phase_timings: dict[str, float] | None = None,
@@ -65,19 +65,45 @@ def run_export(
     tm = phase_timings if phase_timings is not None else {}
 
     def sink(df: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql import Observation
+
         path = os.path.join(output_root, name)
         t0 = time.time()
-        write_table(df, path)
+        # one job per sink, not two: the inserted-count Summary metric is
+        # observed ON the write itself (CollectMetrics) instead of a
+        # second count() job over the read-back — with 24 sink tables the
+        # driver round-trips were half the phase wall. The REBALANCE hint
+        # lets AQE size the write: tiny feature tables collapse to one
+        # output file instead of one per cached partition (guide §6 —
+        # same hint yields ~advisory-size files at cluster scale).
+        obs = Observation()
+        write_table(
+            df.observe(obs, F.count(F.lit(1)).alias("n")).hint("rebalance"),
+            path,
+        )
         out = read_table(spark, path)
-        summary[name] = out.count()
+        summary[name] = int(obs.get["n"])
         tm[f"sink_{name}"] = round(time.time() - t0, 3)
         return out
 
     # ---- Phase A: raw tables (the importer fan-out) ----
+    # The three entity sinks are independent (each consumes its own kind's
+    # frames), so they run as concurrent Spark actions (guide §2.6): wall
+    # time becomes max(decode) instead of sum(decode) — on the PBF path
+    # each sink's job is dominated by the Python frame-decode pass.
     t_a = time.time()
-    nodes_t = sink(nodes, "nodes")
-    ways_t = sink(ways, "ways")
-    rels_t = sink(relations, "relations")
+    raw_tables = {"nodes": nodes, "ways": ways, "relations": relations}
+    if sink_parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(sink_parallelism, len(raw_tables))
+        ) as ex:
+            raw_futs = {n: ex.submit(sink, df, n) for n, df in raw_tables.items()}
+            raw_out = {n: fut.result() for n, fut in raw_futs.items()}
+    else:
+        raw_out = {n: sink(df, n) for n, df in raw_tables.items()}
+    nodes_t, ways_t, rels_t = raw_out["nodes"], raw_out["ways"], raw_out["relations"]
     # the member tables of the way/relation sinks (WayImporter.scala:25-53,
     # RelationImporter.scala:52-71, DefaultSchema.scala:34-60): exploded
     # ways_nodes plus the three typed relation-member tables with the
@@ -98,7 +124,10 @@ def run_export(
                 [], RELATIONS_RELATIONS_SCHEMA
             )
     member_tables = {
-        "ways_nodes": ways.select(
+        # derived from the MATERIALIZED ways table, not the caller's `ways`
+        # pipeline: on the PBF path the latter would re-run the whole frame
+        # decode just to explode the refs a second time
+        "ways_nodes": ways_t.select(
             F.col("osm_id").alias("way_id"),
             F.posexplode("nodes").alias("index", "node_id"),
         ).select("way_id", "node_id", "index"),

@@ -133,10 +133,12 @@ def run_batched(
         str(r[0]) for r in source.select(batch_col).distinct().collect()
         if str(r[0]) not in done
     )
-    processed = 0
-    for b in todo:
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"injected failure before batch {b}")
+
+    import threading
+
+    record_lock = threading.Lock()
+
+    def process(b: str) -> None:
         t0 = time.time()
         part = source.filter(F.col(batch_col).cast("string") == b)
         out = transform(part) if transform is not None else part
@@ -149,13 +151,37 @@ def run_batched(
         n = sum(r.n for r in pstats)
         write_table(out, os.path.join(root, "data", f"batch={b}"))
         out.unpersist()
-        log.record(
-            b,
-            n,
-            len(pstats),
-            int((time.time() - t0) * 1000),
-            partition_rows=[(int(r.pid), int(r.n)) for r in pstats],
-        )
+        # batch data dirs are disjoint, so batch jobs overlap freely; the
+        # lineage log is ONE append-mode table, and concurrent appends to
+        # the same path share the committer's _temporary staging dir —
+        # serialize just the tiny log append
+        with record_lock:
+            log.record(
+                b,
+                n,
+                len(pstats),
+                int((time.time() - t0) * 1000),
+                partition_rows=[(int(r.pid), int(r.n)) for r in pstats],
+            )
+
+    if fail_after is None and len(todo) > 1:
+        # batches are independent filter->write jobs over the (cached)
+        # source: submit a few concurrently so the next batch's tasks
+        # back-fill executors freed by the current batch's tail (guide
+        # §2.6). 3 in flight fills the tail without starving any job.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            list(ex.map(process, todo))
+        return len(todo)
+
+    # sequential path: keeps fail_after's "crash after exactly n completed
+    # batches" contract for the resume tests
+    processed = 0
+    for b in todo:
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"injected failure before batch {b}")
+        process(b)
         processed += 1
     return processed
 

@@ -26,8 +26,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def frame_tables(spark: SparkSession, pbf_dir: str) -> dict[str, DataFrame]:
-    """Decoded wire rows -> normalized nodes/ways/relations/relations_ways."""
+def frame_tables(
+    spark: SparkSession, pbf_dir: str, share_relations: bool = False
+) -> dict[str, DataFrame]:
+    """Decoded wire rows -> normalized nodes/ways/relations/relations_ways.
+
+    share_relations=True persists the decoded relation frames so the FOUR
+    consumers (the relations sink + the three member-table splits) share a
+    single Python frame-decode pass instead of re-decoding per action; the
+    handle is returned under "_rels_raw" for the caller to unpersist once
+    the consumers have materialized.
+    """
     from fs2_osm_spark.sources.pbf_frames import (
         read_nodes_from_frames,
         read_relations_from_frames,
@@ -56,6 +65,8 @@ def frame_tables(spark: SparkSession, pbf_dir: str) -> dict[str, DataFrame]:
         "relation_id", tags_map.alias("_tags"),
         "member_ids", "member_roles", "member_types",
     )
+    if share_relations:
+        rels_raw = rels_raw.persist()
     relations = rels_raw.select(
         F.col("relation_id").alias("osm_id"),
         F.col("_tags")["name"].alias("name"),
@@ -96,6 +107,7 @@ def frame_tables(spark: SparkSession, pbf_dir: str) -> dict[str, DataFrame]:
         "relations_ways": relations_ways,
         "relations_nodes": relations_nodes,
         "relations_relations": relations_relations,
+        "_rels_raw": rels_raw if share_relations else None,
     }
 
 
@@ -120,21 +132,37 @@ def run_pbf_pipeline(
     from fs2_osm_spark.plans.lineage import run_batched
     from fs2_osm_spark.synth.images import images_table
 
+    from fs2_osm_spark.catalog import read_table
+
     tm = phase_timings if phase_timings is not None else {}
     t0 = time.time()
-    t = frame_tables(spark, pbf_dir)
-    summary = run_export(
-        spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
-        os.path.join(output_root, "export"),
-        relations_nodes=t["relations_nodes"],
-        relations_relations=t["relations_relations"],
-        phase_timings=tm,
-    )
+    t = frame_tables(spark, pbf_dir, share_relations=True)
+    export_root = os.path.join(output_root, "export")
+    try:
+        summary = run_export(
+            spark, t["nodes"], t["ways"], t["relations"], t["relations_ways"],
+            export_root,
+            relations_nodes=t["relations_nodes"],
+            relations_relations=t["relations_relations"],
+            phase_timings=tm,
+        )
+    finally:
+        if t["_rels_raw"] is not None:
+            t["_rels_raw"].unpersist()
     tm["export_total"] = round(time.time() - t0, 3)
 
     t1 = time.time()
+    # polygon corpus from the MATERIALIZED export tables: the raw-frame
+    # variant re-ran the whole Python wire decode of ways+nodes+relations a
+    # second time just to assemble geometry the export phase had already
+    # loaded. The exported relations_ways is the keep-first dedupe of the
+    # raw memberships, and build_multipolygons opens with exactly that
+    # dedupe, so the assembled polygons are identical by construction.
     polygons = feature_polygons(
-        t["ways"], t["nodes"], t["relations"], t["relations_ways"]
+        read_table(spark, os.path.join(export_root, "ways")),
+        read_table(spark, os.path.join(export_root, "nodes")),
+        read_table(spark, os.path.join(export_root, "relations")),
+        read_table(spark, os.path.join(export_root, "relations_ways")),
     ).select("polygon_id", "outer", "inners")
     images = images_table(spark, n_images)
     result = flagship_from_tables(images, polygons)
