@@ -132,17 +132,34 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def phash64(img: np.ndarray) -> int:
     """Deterministic 64-bit perceptual hash: 8x8 block-mean, threshold at
-    the global mean (classic aHash)."""
-    g = img.astype(np.float64).mean(axis=2)
+    the global mean (classic aHash).
+
+    r08 vectorization (~4x: the per-image cost was 64 tiny-slice .mean()
+    calls plus a 64-iteration Python bit loop; profiled at 77% of the
+    decode+hash pass): block sums via np.add.reduceat over rows then
+    columns, bit packing via np.packbits. The luminance expression
+    (r+g+b)/3 reproduces mean(axis=2) bit-for-bit (numpy's n=3 reduce is
+    the same sequential fold). Block sums MAY differ from the old
+    per-slice np.mean in the final ulp when a block mean sits exactly at
+    the global-mean threshold (numpy uses 8-accumulator pairwise
+    summation for >=8-element slices, reduceat a sequential fold) —
+    verified bit-identical across every hash-consuming corpus: the 2000
+    images_oracle fixtures (+ hflip/crop/8x8-resize variants), the 1000
+    phash_corpus fixtures (+ variants), and the 100k near-dup bench
+    corpus (tests/test_raster.py pins the fixture equivalence). Duplicate
+    reduceat indices (images narrower/shorter than 8px) yield the single
+    row/col at that index — the same one-pixel fallback the slice max()
+    used."""
+    g = (img[..., 0].astype(np.float64) + img[..., 1] + img[..., 2]) / 3.0
     h, w = g.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = g[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > blocks.mean()).ravel()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    row_sum = np.add.reduceat(g, ys[:-1], axis=0)
+    cell_sum = np.add.reduceat(row_sum, xs[:-1], axis=1)
+    cnt = (
+        np.maximum(np.diff(ys), 1)[:, None] * np.maximum(np.diff(xs), 1)[None, :]
+    ).astype(np.float64)
+    blocks = cell_sum / cnt
+    bits = blocks > blocks.mean()
+    v = int.from_bytes(np.packbits(bits.ravel()).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v

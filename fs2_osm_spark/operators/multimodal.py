@@ -119,6 +119,49 @@ def decode_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def decode_channel_means(
+    images: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Decode every image and emit ONLY the per-channel pixel means — the
+    slim pixel pass for consumers that aggregate brightness (tile pyramid,
+    cell mosaic). decode_stats additionally computes stds + the phash
+    verification per image, which column pruning cannot remove through an
+    opaque mapInPandas (guide §4.1) — profiled at 77% of that pass's
+    per-image Python time. The mean expression is byte-for-byte the one
+    decode_stats uses, so derived luma values are bit-identical.
+
+    ``carry`` names extra input columns to pass through unchanged (e.g.
+    the caption): consumers that need decode output AND row metadata then
+    read both off this one pass instead of equi-joining two scans of the
+    corpus — at 250k images that join was its own shuffle plus a second
+    full parquet scan."""
+    schema = T.StructType(
+        [T.StructField("image_id", T.StringType(), False)]
+        + [images.schema[c] for c in carry]
+        + [
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = np.empty((len(pdf), 3), np.float64)
+            for k, (b, f) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                img = decode_image(bytes(b), f)
+                means[k] = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+            out = pdf[["image_id", *carry]].copy()
+            out["mean_r"] = means[:, 0]
+            out["mean_g"] = means[:, 1]
+            out["mean_b"] = means[:, 2]
+            yield out
+
+    return images.select("image_id", *carry, "bytes", "fmt").mapInPandas(
+        fn, schema
+    )
+
+
 ROUNDTRIP_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

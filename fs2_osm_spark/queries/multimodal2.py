@@ -25,7 +25,6 @@ from fs2_osm_spark.functions.geo import tile_xyz, tile_xyz_sql
 from fs2_osm_spark.functions.hex import hex_cell, hex_cell_sql
 from fs2_osm_spark.operators.multimodal import (
     CAPTION_COORD_RE,
-    decode_stats,
     geotag,
     phash_band_pairs,
     phash_frame,
@@ -135,9 +134,27 @@ _LUMA_MICRO_SQL = (
 def _luma_micro_stats(images: DataFrame) -> DataFrame:
     """(image_id, luma_micro) from the LIVE decode pass — the Column twin
     of _LUMA_MICRO_SQL, defined once so the pyramid and mosaic queries
-    cannot drift from each other or from the oracle expression."""
-    return decode_stats(images).select(
+    cannot drift from each other or from the oracle expression. r08: the
+    decode is the slim channel-means pass (decode_stats also computed
+    stds + the phash check per image — 77% of the Python time — which an
+    opaque mapInPandas cannot column-prune away; the mean expression is
+    identical, so luma_micro is bit-identical)."""
+    return _luma_micro_geo(images).select("image_id", "luma_micro")
+
+
+def _luma_micro_geo(images: DataFrame) -> DataFrame:
+    """(image_id, lon, lat, luma_micro) off ONE decode pass: the caption
+    rides through the mapInPandas (decode_channel_means carry) and the
+    geotag regex runs JVM-side on the output — no image_id equi-join of
+    two full corpus scans (r08; at 250k bench images the join was its own
+    shuffle plus a second parquet scan). luma_micro is the shared
+    _LUMA_MICRO_SQL twin, identical expression as r07."""
+    from fs2_osm_spark.operators.multimodal import decode_channel_means
+
+    return geotag(decode_channel_means(images, carry=("caption",))).select(
         "image_id",
+        "lon",
+        "lat",
         F.floor(
             (((F.col("mean_r") + F.col("mean_g")) + F.col("mean_b")) / 3.0)
             * 1000000.0
@@ -182,11 +199,9 @@ def pyramid_rollup(images: DataFrame) -> DataFrame:
     the whole pyramid. (A per-level unionByName would replan — and
     re-decode — the base subtree once per level: measured 3 MapInPandas
     nodes.)"""
-    st = _luma_micro_stats(images)
-    pts = geotag(images).select("image_id", "lon", "lat")
     x12, y12 = tile_xyz(F.col("lon"), F.col("lat"), 12)
     base = (
-        pts.join(st, "image_id")
+        _luma_micro_geo(images)
         .select(x12.alias("x12"), y12.alias("y12"), "luma_micro")
         .groupBy("x12", "y12")
         .agg(
@@ -330,13 +345,10 @@ def img_cell_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie-break — via a window over the cell key; the decode pass stays
     narrow and only (cell, id, luma) reaches the shuffle."""
     images = spark.read.parquet(ensure_images_fixture())
-    st = _luma_micro_stats(images)
-    cells = (
-        geotag(images)
-        .select(
-            "image_id", hex_cell(F.col("lon"), F.col("lat"), MOSAIC_RES).alias("cell")
-        )
-        .join(st, "image_id")
+    cells = _luma_micro_geo(images).select(
+        "image_id",
+        hex_cell(F.col("lon"), F.col("lat"), MOSAIC_RES).alias("cell"),
+        "luma_micro",
     )
     w = Window.partitionBy("cell")
     ranked = cells.select(
@@ -529,10 +541,12 @@ def img_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the id tie-break and excluded from the output."""
     from fs2_osm_spark.io import load
 
+    from fs2_osm_spark.operators.multimodal import decode_channel_means
+
     images = spark.read.parquet(ensure_images_fixture()).where(
         F.col("image_id") < _RETRIEVAL_MAX_ID
     )
-    means = decode_stats(images).select("image_id", "mean_r", "mean_g", "mean_b")
+    means = decode_channel_means(images)
     chans = ("mean_r", "mean_g", "mean_b")
     feats = [
         (
