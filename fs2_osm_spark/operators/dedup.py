@@ -158,12 +158,13 @@ def connected_components(
     """
     # pin the pair list first — the symmetric union would otherwise compute
     # the upstream pair-generation pipeline twice; then pin the edge list so
-    # iterations never reach upstream at all
+    # iterations never reach upstream at all. No distinct() on the
+    # symmetric union (r08): id_a < id_b makes the two directions disjoint,
+    # and the per-round min() aggregate is duplicate-insensitive anyway —
+    # the distinct was a whole extra shuffle of the edge list for nothing.
     pairs = _pin(pairs)
-    edges = (
-        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
-        .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
-        .distinct()
+    edges = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).unionByName(
+        pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
     )
     edges = _pin(edges)
     labels = (
@@ -177,6 +178,11 @@ def connected_components(
             .groupBy("x")
             .agg(F.min("cluster").alias("nmin"))
         )
+        # the convergence flag rides ON the label update (both operands are
+        # in the joined row already): the old formulation re-joined
+        # new-vs-old labels every round — a second shuffle join per round
+        # just to ask "did anything move". The flag check now scans the
+        # checkpointed output only.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
             .select(
@@ -184,18 +190,12 @@ def connected_components(
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
                 ).alias("cluster"),
+                (F.col("nmin") < F.col("cluster")).alias("_chg"),
             )
         )
         new_labels = _pin(new_labels)  # truncate the plan per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("id", "cluster")
+        if new_labels.filter(F.col("_chg")).limit(1).count() == 0:
             break
     return labels
 
