@@ -13,7 +13,7 @@ set-based replacement for a driver-side union-find.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -69,18 +69,32 @@ def release_pins() -> int:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) word n-grams. JVM-side: split/posexplode/lead."""
-    words = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    """(id, shingle) word n-grams. JVM-side, narrow: split once, slide the
+    n-gram window over the WORD ARRAY with transform(sequence(...)), then
+    explode. The r07 formulation posexploded words and ran lead() over a
+    per-document window — a full shuffle+sort of every word in the corpus
+    just to look one row ahead; the array form emits identical shingles
+    (verified multiset-equal) with no exchange at all, so the minhash
+    pipeline's only shuffle is its signature groupBy.
+
+    The split lands behind an explode(array(...)) Generate node ON
+    PURPOSE: referencing the raw split(...) expression from inside the
+    transform lambda re-evaluates the split per emitted element (the
+    projection-collapse/inlining trap — measured 4x SLOWER than the
+    window it replaced); the Generate is a projection barrier, so the
+    lambda reads a materialized array attribute instead."""
+    ws_df = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.split(F.col(text_col), " "))).alias("_ws"),
+    ).filter(F.size("_ws") >= n)
+    ws = F.col("_ws")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
-    win = Window.partitionBy("_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
-    return (
-        words.select("_id", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
-        .filter(F.col("_t").isNotNull())
-        .select(F.col("_id").alias(id_col), "sh")
-    )
+    return ws_df.select(F.col(id_col), F.explode(grams).alias("sh"))
 
 
 def minhash_signatures(
