@@ -127,11 +127,73 @@ def _assign_udf(centroid_matrix: np.ndarray, metric: str = "cos"):
     return F.pandas_udf(assign, T.LongType())
 
 
+def _list_to_matrix(col) -> np.ndarray:
+    """pyarrow list<double> column -> (n, d) float64 matrix.
+
+    Zero-copy fast path (guide §4.2): a list column is one contiguous
+    values buffer plus offsets, so when every row has the same length the
+    matrix is just a reshape of the values buffer — no per-row Python
+    boxing (np.stack over 100k object rows was the dominant cost of the
+    1M-vector assign/encode passes). Rows of unequal length (never
+    produced by this engine's vector tables) fall back to per-row stack.
+    """
+    import pyarrow.compute as pc
+
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), np.float64)
+    lens = np.asarray(pc.list_value_length(col))
+    d = int(lens[0])
+    if (lens == d).all():
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        return flat.reshape(n, d)
+    return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+
+
 def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, np.ndarray]],
                vec_col: str = "v", metric: str = "cos") -> DataFrame:
+    """Nearest-centroid id per corpus vector, appended as `centroid_id`.
+
+    r08: mapInArrow over the record batch instead of a pandas UDF on the
+    vector column — the batch's list column reshapes zero-copy into the
+    matmul operand (_list_to_matrix), where the pandas path paid a
+    per-row object conversion. Identical float64 math (same normalize /
+    argmax / expanded-L2 argmin expressions), so assignments are
+    bit-identical."""
+    import pyarrow as pa
+
     cm = np.stack([c for _, c in centroids])
-    udf = _assign_udf(cm, metric)
-    return corpus.withColumn("centroid_id", udf(F.col(vec_col)))
+    if metric == "cos":
+        cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        cc = None
+    elif metric == "l2":
+        cmn = cm
+        cc = np.einsum("ij,ij->i", cm, cm)
+    else:
+        raise ValueError(f"unknown metric {metric!r} (cos|l2)")
+    vidx = corpus.schema.fieldNames().index(vec_col)
+    out_schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField("centroid_id", T.LongType(), False)]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            mat = _list_to_matrix(batch.column(vidx))
+            if metric == "cos":
+                m = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+                )
+                ids = np.argmax(m @ cmn.T, axis=1).astype(np.int64)
+            else:
+                xx = np.einsum("ij,ij->i", mat, mat)
+                d2 = xx[:, None] - 2.0 * (mat @ cmn.T) + cc[None, :]
+                ids = np.argmin(d2, axis=1).astype(np.int64)
+            yield batch.append_column(
+                pa.field("centroid_id", pa.int64(), nullable=False),
+                pa.array(ids, pa.int64()),
+            )
+
+    return corpus.mapInArrow(fn, out_schema)
 
 
 def ivf_search(
@@ -196,6 +258,8 @@ def pq_codes(
     payload vector column is DROPPED on output (that is the point: ADC
     search never touches raw vectors until the exact rerank).
     """
+    import pyarrow as pa
+
     n_sub = len(subs)
     k = subs[0].shape[0]
     assert k <= 16 and n_sub <= 16, "4-bit packing needs K<=16 codewords"
@@ -203,16 +267,22 @@ def pq_codes(
     cc = [np.einsum("ij,ij->i", s, s) for s in subs]
     bc = df.sparkSession.sparkContext.broadcast((subs, cc))
     id_fields = [f for f in df.schema.fields if f.name in id_cols]
+    present_ids = [f.name for f in id_fields]
     schema = T.StructType(
         id_fields + [T.StructField("pq_code", T.LongType(), False)]
     )
+    names = df.schema.fieldNames()
+    vidx = names.index(vec_col)
 
-    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # r08: mapInArrow with the zero-copy list->matrix reshape (the pandas
+    # path re-boxed every vector row before the per-subspace matmuls);
+    # identical float64 expressions, so codes are bit-identical.
+    def fn(batches):
         subs_b, cc_b = bc.value
-        for pdf in it:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            x = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            x = _list_to_matrix(batch.column(vidx))
             codes = np.empty((len(x), n_sub), np.int64)
             for m in range(n_sub):
                 xm = x[:, m * d_sub : (m + 1) * d_sub]
@@ -221,11 +291,13 @@ def pq_codes(
                 d2 = xx[:, None] - 2.0 * xc + cc_b[m][None, :]
                 codes[:, m] = np.argmin(d2, axis=1)  # first min = lowest code
             packed = (codes << (4 * np.arange(n_sub, dtype=np.int64))).sum(axis=1)
-            out = {c: pdf[c] for c in id_cols if c in pdf}
-            out["pq_code"] = packed
-            yield pd.DataFrame(out)
+            arrays = [batch.column(names.index(c)) for c in present_ids]
+            arrays.append(pa.array(packed, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[*present_ids, "pq_code"]
+            )
 
-    return df.mapInPandas(fn, schema)
+    return df.mapInArrow(fn, schema)
 
 
 def pq_train(
