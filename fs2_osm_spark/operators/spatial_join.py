@@ -65,18 +65,29 @@ def broadcast_pip_join(
         [points.schema[c] for c in keep_cols]
         + [T.StructField("polygon_id", T.LongType(), False)]
     )
+    lon_i, lat_i = in_cols.index(lon_col), in_cols.index(lat_col)
+    keep_i = [in_cols.index(c) for c in keep_cols]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow (r08; was mapInPandas): lon/lat reshape zero-copy out of
+    # the Arrow batch into the numpy kernel, and the matched rows come back
+    # as a batch-level take + one appended id column — no pandas frame
+    # construction or per-row boxing on either side of the boundary.
+    def fn(batches):
+        import pyarrow as pa
+
         ps = bc.value
-        for pdf in batches:
-            px = pdf[lon_col].to_numpy(np.float64)
-            py = pdf[lat_col].to_numpy(np.float64)
+        for batch in batches:
+            px = np.asarray(batch.column(lon_i), dtype=np.float64)
+            py = np.asarray(batch.column(lat_i), dtype=np.float64)
             pt_idx, poly_id = ps.match(px, py)
-            out = pdf.iloc[pt_idx][keep_cols].copy()
-            out["polygon_id"] = poly_id.astype(np.int64)
-            yield out
+            taken = batch.take(pa.array(pt_idx, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [taken.column(i) for i in keep_i]
+                + [pa.array(poly_id.astype(np.int64), pa.int64())],
+                names=[*keep_cols, "polygon_id"],
+            )
 
-    return points.select(*in_cols).mapInPandas(fn, out_schema)
+    return points.select(*in_cols).mapInArrow(fn, out_schema)
 
 
 # ---------------------------------------------------------------------------
