@@ -262,7 +262,12 @@ def pq_codes(
 
     n_sub = len(subs)
     k = subs[0].shape[0]
-    assert k <= 16 and n_sub <= 16, "4-bit packing needs K<=16 codewords"
+    assert k <= 16 and n_sub <= 15, (
+        "4-bit packing needs K<=16 codewords and <=15 subspaces: the 16th "
+        "subspace would occupy bits 60-63, where numpy packing wraps to a "
+        "negative BIGINT while the DuckDB twin's code*(1<<(4*m)) overflows "
+        "instead — the cross-engine contract only holds below the sign bit"
+    )
     d_sub = subs[0].shape[1]
     cc = [np.einsum("ij,ij->i", s, s) for s in subs]
     bc = df.sparkSession.sparkContext.broadcast((subs, cc))
@@ -355,7 +360,12 @@ def pq_encode_recon(
     reconstruction gather."""
     n_sub = len(subs)
     k = subs[0].shape[0]
-    assert k <= 16 and n_sub <= 16, "4-bit packing needs K<=16 codewords"
+    assert k <= 16 and n_sub <= 15, (
+        "4-bit packing needs K<=16 codewords and <=15 subspaces: the 16th "
+        "subspace would occupy bits 60-63, where numpy packing wraps to a "
+        "negative BIGINT while the DuckDB twin's code*(1<<(4*m)) overflows "
+        "instead — the cross-engine contract only holds below the sign bit"
+    )
     d_sub = subs[0].shape[1]
     cc = [np.einsum("ij,ij->i", s, s) for s in subs]
     bc = corpus.sparkSession.sparkContext.broadcast((subs, cc))

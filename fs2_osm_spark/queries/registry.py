@@ -47,54 +47,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Driver-sample priority: the correctness driver runs the FIRST ~50 entries
 # of queries() in iteration order (proven in rounds 1-6). Rotation rule for
-# round 7: (a) queries added or behavior-changed this round (the new IVF-PQ
-# ADC search, the xxhash dedup trio converted from rows-only to
-# fixture-recorded oracles, the CDC durable-snapshot swap, the
-# staging-cleanup/materialization rewrites, plus the two rows-only
-# iterative fast paths the judge asked to resurface), then (b) every
-# oracled query whose newest green row is r04 or older — the r06 verdict's
-# 32-name staleness-debt list — oldest first. Freshly-green r05/r06
-# queries fall to the back; their rows stand.
+# round 8 (the optimization round): (a) the two CORRECTNESS_r07 red rows,
+# armored this round, stay at the very front; then every query whose SPARK
+# implementation changed in the r08 optimization work (durable-result
+# swaps, vectorized phash64, slim decode pass, shingle/CC rewrites,
+# Arrow-native IVF/PQ kernels, finer flagship cover, Arrow PIP join,
+# export/lineage restructure) so CORRECTNESS_r08 re-proves exactly what
+# moved; then (b) the nine r04-stale oracles VERDICT.md called out
+# (3 rounds unsampled); then the prior rotation order.
 PRIORITY: list[str] = [
-    # (a) added or behavior-changed in round 7
+    # (a0) the r07 red rows — recompute windows removed in r08
+    "img_shard_pack",
+    "graph_pagerank",
+    # (a1) de-collected this round
+    "part_hilbert_pruned_scan",
+    "mv_incremental_refresh",
+    # (a2) optimization-touched implementations
+    "img_tile_pyramid",
+    "img_cell_mosaic",
+    "img_text_retrieval",
     "img_phash_neardup",
+    "img_phash_multiprobe",
     "stream_image_dedup",
     "img_augment",
-    "img_phash_multiprobe",
-    "img_text_retrieval",
-    "video_scene_cuts",
-    "img_tile_pyramid",
-    "img_shard_pack",
-    "img_cell_mosaic",
-    "text_bpe_train",
+    "img_decode_stats",
+    "img_resize",
+    "img_resize_stats",
+    "img_flagship_small_oracle",
+    "geo_pip_broadcast_join",
+    "dedup_minhash_fast",
+    "dedup_cc_clusters",
+    "sim_ivf_ann",
+    "sim_ivf_ann_md5",
     "sim_ivf_ann_filtered",
-    "text_pipeline_end2end",
-    "graph_pagerank",
-    "dedup_exact_substring",
-    "text_lm_quality_score",
+    "sim_kmeans_clusters",
+    "sim_pq_encode",
     "sim_pq_ann",
     "sim_pq_trained",
+    "osm_export_summary",
+    "lineage_batched_resume",
+    # (b) the nine r04-stale oracles (VERDICT r07 item 2)
+    "agg_cube",
+    "agg_percentiles",
+    "r_anti_join",
+    "r_left_outer_join",
+    "geom_line_length",
+    "geom_centroid",
+    "geom_polygon_area",
+    "temporal_asof_join",
+    "temporal_asof_forward",
+    # (c) prior rotation, unchanged relative order
+    "video_scene_cuts",
+    "text_bpe_train",
+    "text_pipeline_end2end",
+    "dedup_exact_substring",
+    "text_lm_quality_score",
     "table_schema_evolution",
-    "mv_incremental_refresh",
     "text_stratified_sample",
-    "dedup_minhash_fast",
     "dedup_simhash_fast",
     "dedup_simhash_multiprobe",
     "stream_cdc_merge",
     "table_compaction",
     "table_stats",
-    "part_hilbert_pruned_scan",
     "join_bucketed_colocated",
-    "sim_ivf_ann",
-    "sim_kmeans_clusters",
-    # (b) newest green row r04 or older (r06 verdict staleness-debt list)
     "geo_hex_cell_equalarea",
-    "dedup_cc_clusters",
     "osm_decode_semantics_oracle",
     "img_pixel_roundtrip",
     "img_decode_dims",
-    "img_resize",
-    "img_resize_stats",
     "img_frame_sample",
     "skew_salted_agg",
     "skew_salted_join",
@@ -108,15 +127,6 @@ PRIORITY: list[str] = [
     "tpch_q5_local_volume",
     "tpch_q10_returned_items",
     "agg_rollup",
-    "agg_cube",
-    "agg_percentiles",
-    "r_anti_join",
-    "r_left_outer_join",
-    "geom_line_length",
-    "geom_centroid",
-    "geom_polygon_area",
-    "temporal_asof_join",
-    "temporal_asof_forward",
 ]
 
 
