@@ -481,6 +481,11 @@ def pq_adc_search(
     scored = cand.select(
         "query_id", "qv", F.col(id_col).alias("neighbor_id"), adc.alias("adc")
     )
+    # (a two-phase top-rerank — local rank within (query, neighbor-hash
+    # bucket) then global — was tried in r08 and measured SLOWER at this
+    # scale: the extra 3.8M-row shuffle outweighs the per-query sort it
+    # saves. At true cluster scale with orders more candidates per query
+    # the two-phase shape is the one to revisit.)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )

@@ -171,7 +171,7 @@ def run_batched(
         # §2.6). 3 in flight fills the tail without starving any job.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             list(ex.map(process, todo))
         return len(todo)
 
