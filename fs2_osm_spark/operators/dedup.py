@@ -187,24 +187,27 @@ def connected_components(
         .select("id", F.col("id").alias("cluster"))
     )
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.y == labels.id)
-            .groupBy("x")
-            .agg(F.min("cluster").alias("nmin"))
+        # one join + ONE aggregation per round (r08): the self label and
+        # every neighbor label land in a union keyed by id, and a single
+        # groupBy takes min over {self} ∪ {neighbors} — identical to the
+        # classic least(self, coalesce(neighbor_min, self)) but without
+        # the separate neighbor_min groupBy AND the left join back onto
+        # labels (a whole label-vector shuffle per round). The convergence
+        # flag (new < old self label) rides on the same aggregation; its
+        # check is a narrow scan of the checkpointed output.
+        own = labels.select("id", "cluster", F.lit(True).alias("_own"))
+        nbr = edges.join(labels, edges.y == labels.id).select(
+            F.col("x").alias("id"), F.col("cluster"), F.lit(False).alias("_own")
         )
-        # the convergence flag rides ON the label update (both operands are
-        # in the joined row already): the old formulation re-joined
-        # new-vs-old labels every round — a second shuffle join per round
-        # just to ask "did anything move". The flag check now scans the
-        # checkpointed output only.
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            own.unionByName(nbr)
+            .groupBy("id")
+            .agg(
+                F.min("cluster").alias("cluster"),
+                F.min(F.when(F.col("_own"), F.col("cluster"))).alias("_old"),
+            )
             .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                ).alias("cluster"),
-                (F.col("nmin") < F.col("cluster")).alias("_chg"),
+                "id", "cluster", (F.col("cluster") < F.col("_old")).alias("_chg")
             )
         )
         new_labels = _pin(new_labels)  # truncate the plan per round
