@@ -178,6 +178,8 @@ def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, np.ndarray]],
 
     def fn(batches):
         for batch in batches:
+            if not batch.num_rows:  # zero-row Arrow batch: (0,0) matmul throws
+                continue
             mat = _list_to_matrix(batch.column(vidx))
             if metric == "cos":
                 m = mat / np.maximum(
